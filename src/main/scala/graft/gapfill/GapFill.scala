@@ -1,0 +1,172 @@
+package graft.gapfill
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grid densification + gap handling, reproducing the reference's
+  * imputation stage (OPSD `time_series` imputation.py: `find_nan` NaN-run
+  * detection, `interpolate` of short gaps, forward-fill for selected
+  * columns, marker bookkeeping — SURVEY.md §2.2 P5, §2.4 A5, §2.5 W1/W2).
+  *
+  * All ops are per-series window functions over `(partitionBy series,
+  * orderBy ts)`. Scale invariant: a series NEVER spans Spark partitions —
+  * upstream partitioning is by series hash-bucket — so `WindowExec`'s sort
+  * is partition-local and the fill is deterministic at any cluster size.
+  * The sort is paid once and reused by every windowed op in this file
+  * (Catalyst collapses adjacent windows with the same ordering).
+  */
+object GapFill {
+
+  /** Grid densify (reference `df.reindex(pd.date_range(...))` — P5):
+    * one row per (series, grid tick) between each series' min and max
+    * observed tick, values null where no observation exists.
+    *
+    * `sequence` + `explode` generates ticks per series — the per-series
+    * range keeps the explode bounded (a series' lifetime / period), and a
+    * left join brings observations back. Join keys are (series, ts), i.e.
+    * co-partitioned with the upstream tier shuffle.
+    */
+  def densify(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      epochCol: String,
+      periodSec: Long
+  ): DataFrame = {
+    val spans = df.groupBy(seriesCols.map(col): _*)
+      .agg(min(col(epochCol)).as("_t0"), max(col(epochCol)).as("_t1"))
+    val grid = spans.select(
+      (seriesCols.map(col) :+
+        explode(sequence(col("_t0"), col("_t1"), lit(periodSec)))
+          .as(epochCol)): _*)
+    grid.join(df, seriesCols :+ epochCol, "left_outer")
+  }
+
+  private def w(seriesCols: Seq[String], epochCol: String) =
+    Window.partitionBy(seriesCols.map(col): _*).orderBy(col(epochCol))
+
+  /** Annotate each row with the identity of its null-run: `_run_pos` =
+    * 1-based position inside the current null run (0 for observed rows),
+    * `_gap_len` = total length of the run the row belongs to.
+    *
+    * Gaps-and-islands via row numbers, all over the SAME series-partitioned
+    * window — one shuffle + one sort for everything (re-partitioning by
+    * (series, run-id) would double the shuffle cost at scale):
+    *   run_pos = rn - rn(last observation)      (0-based from the obs)
+    *   gap_len = rn(next observation) - rn(last observation) - 1,
+    *             falling back to the partition edge for head/tail runs.
+    */
+  def annotateRuns(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      epochCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val ws = w(seriesCols, epochCol)
+    val prevW = ws.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = ws.rowsBetween(0, Window.unboundedFollowing)
+    val allW = Window.partitionBy(seriesCols.map(col): _*)
+    val obsRn = when(col(valueCol).isNotNull, col("_rn"))
+    df
+      .withColumn("_rn", row_number().over(ws))
+      .withColumn("_prev_rn", last(obsRn, ignoreNulls = true).over(prevW))
+      .withColumn("_next_rn", first(obsRn, ignoreNulls = true).over(nextW))
+      .withColumn("_n_rows", count(lit(1)).over(allW))
+      .withColumn(
+        "_run_pos",
+        when(col(valueCol).isNotNull, lit(0L))
+          .otherwise(col("_rn") - coalesce(col("_prev_rn"), lit(0L))))
+      .withColumn(
+        "_gap_len",
+        when(col(valueCol).isNotNull, lit(0L))
+          .otherwise(
+            coalesce(col("_next_rn"), col("_n_rows") + 1) -
+              coalesce(col("_prev_rn"), lit(0L)) - 1))
+      .withColumn("_run_id", coalesce(col("_prev_rn"), lit(0L)))
+      .drop("_rn", "_prev_rn", "_next_rn", "_n_rows")
+  }
+
+  /** Forward fill with a run-length limit (reference
+    * `fillna(method='ffill', limit=...)` — W2). Fills a null only when its
+    * position inside the null run is <= `limit`. Adds `markerName + "_ffill"`
+    * to `markersOut` for filled rows.
+    */
+  def ffill(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      epochCol: String,
+      valueCol: String,
+      limit: Int,
+      markerExpr: Column
+  ): DataFrame = {
+    val ws = w(seriesCols, epochCol)
+    val prevW = ws.rowsBetween(Window.unboundedPreceding, 0)
+    val ann = annotateRuns(df, seriesCols, epochCol, valueCol)
+    val filledVal = last(col(valueCol), ignoreNulls = true).over(prevW)
+    ann
+      .withColumn("_do_fill",
+        col(valueCol).isNull && col("_run_pos") <= limit && filledVal.isNotNull)
+      .withColumn("value_filled",
+        when(col("_do_fill"), filledVal).otherwise(col(valueCol)))
+      .withColumn("markers",
+        when(col("_do_fill"), array(markerExpr)).otherwise(array().cast("array<string>")))
+      .drop("_run_id", "_run_pos", "_gap_len", "_do_fill")
+  }
+
+  /** Linear interpolation of short gaps (reference
+    * `interpolate(method='time')` limited to runs <= maxGapPeriods — W1).
+    * Fill = prev + (next - prev) * (t - tPrev) / (tNext - tPrev), only when
+    * the whole run is <= `maxGapPeriods` and both neighbors exist (interior
+    * gaps only — head/tail runs stay null, as in pandas interpolate with
+    * limit_area='inside' semantics the reference relies on).
+    */
+  def interpolate(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      epochCol: String,
+      valueCol: String,
+      maxGapPeriods: Int,
+      markerExpr: Column
+  ): DataFrame = {
+    val ws = w(seriesCols, epochCol)
+    val prevW = ws.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = ws.rowsBetween(0, Window.unboundedFollowing)
+    val ann = annotateRuns(df, seriesCols, epochCol, valueCol)
+    val prevV = last(col(valueCol), ignoreNulls = true).over(prevW)
+    val prevT = last(when(col(valueCol).isNotNull, col(epochCol)), ignoreNulls = true).over(prevW)
+    val nextV = first(col(valueCol), ignoreNulls = true).over(nextW)
+    val nextT = first(when(col(valueCol).isNotNull, col(epochCol)), ignoreNulls = true).over(nextW)
+    val doFill = col(valueCol).isNull &&
+      col("_gap_len") <= maxGapPeriods &&
+      prevV.isNotNull && nextV.isNotNull
+    val interp = prevV +
+      (nextV - prevV) * (col(epochCol) - prevT).cast("double") /
+        (nextT - prevT).cast("double")
+    ann
+      .withColumn("_do_fill", doFill)
+      .withColumn("value_filled",
+        when(col("_do_fill"), interp).otherwise(col(valueCol)))
+      .withColumn("markers",
+        when(col("_do_fill"), array(markerExpr)).otherwise(array().cast("array<string>")))
+      .drop("_run_id", "_run_pos", "_gap_len", "_do_fill")
+  }
+
+  /** NaN-run report (reference `find_nan` — A5): one row per null run per
+    * series with start/end tick and length. Drives imputation QA.
+    */
+  def gapRuns(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      epochCol: String,
+      valueCol: String
+  ): DataFrame = {
+    annotateRuns(df, seriesCols, epochCol, valueCol)
+      .filter(col(valueCol).isNull)
+      .groupBy((seriesCols.map(col) :+ col("_run_id")): _*)
+      .agg(
+        min(col(epochCol)).as("gap_start"),
+        max(col(epochCol)).as("gap_end"),
+        count(lit(1)).as("gap_len"))
+      .drop("_run_id")
+  }
+}

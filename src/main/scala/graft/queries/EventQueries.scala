@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.rollup.TimeSeriesOps
+import graft.gapfill.GapFill
+
+/** Driver-verifiable time-series queries over the `events` fixture
+  * (series key = event_type). Each entry has a bitwise-matching DuckDB
+  * oracle: all aggregates run over exact integers (`cents` =
+  * round(value*100)), buckets are epoch-second longs, and every
+  * floating-point expression has the same shape on both sides.
+  */
+object EventQueries {
+
+  /** Canonical long-format view of events:
+    * (event_type, user_id, event_id, epoch_s, cents).
+    */
+  def base(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet").select(
+      col("event_type"), col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("epoch_s"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  /** Same view in DuckDB SQL (a FROM-able subquery). */
+  val EV: String =
+    "(SELECT event_type, user_id, event_id, epoch_us(ts)//1000000 AS epoch_s, " +
+      "CAST(round(value*100) AS BIGINT) AS cents FROM events)"
+
+  private def withMean(df: DataFrame): DataFrame =
+    df.withColumn("mean_v",
+      col("sum_cents").cast("double") / col("n") / lit(100.0))
+
+  private def tierAt(s: SparkSession, dir: String, period: Long): DataFrame =
+    withMean(
+      TimeSeriesOps.tier(base(s, dir), Seq("event_type"), "epoch_s", "cents", period)
+        .withColumnRenamed("sum_v", "sum_cents").drop("mean_v"))
+
+  private def chain(df: DataFrame, period: Long): DataFrame =
+    withMean(
+      TimeSeriesOps.chainTier(
+        df.withColumnRenamed("sum_cents", "sum_v"), Seq("event_type"), period)
+        .withColumnRenamed("sum_v", "sum_cents").drop("mean_v"))
+
+  /** SQL for the 15-min tier as a CTE body. */
+  private val T15 =
+    s"SELECT event_type, epoch_s//900*900 AS bucket_ts, count(cents) AS n, " +
+      s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $EV e GROUP BY 1, 2"
+  private val T1H =
+    s"SELECT event_type, bucket_ts//3600*3600 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
+      s"CAST(sum(sum_cents) AS BIGINT) AS sum_cents FROM ($T15) t15 GROUP BY 1, 2"
+  private val T1D =
+    s"SELECT event_type, bucket_ts//86400*86400 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
+      s"CAST(sum(sum_cents) AS BIGINT) AS sum_cents FROM ($T1H) t1h GROUP BY 1, 2"
+  private def meanSel(from: String) =
+    s"SELECT event_type, bucket_ts, n, sum_cents, " +
+      s"CAST(sum_cents AS DOUBLE)/n/100.0 AS mean_v FROM ($from) f"
+
+  /** Hourly grid per event_type, densified (nulls where no events). */
+  private def hourlyGrid(s: SparkSession, dir: String): DataFrame = {
+    val hourly = tierAt(s, dir, 3600).select(
+      col("event_type"), col("bucket_ts"), col("sum_cents"))
+    GapFill.densify(hourly, Seq("event_type"), "bucket_ts", 3600)
+  }
+
+  /** Oracle CTE prefix for the densified hourly grid, annotated with
+    * rn/prev/next observation row numbers — mirrors GapFill.annotateRuns.
+    */
+  private val GRID_ANN =
+    s"""WITH h AS ($T1H),
+       |span AS (SELECT event_type, min(bucket_ts) AS t0, max(bucket_ts) AS t1 FROM h GROUP BY 1),
+       |grid AS (SELECT event_type, UNNEST(generate_series(t0, t1, 3600)) AS bucket_ts FROM span),
+       |g AS (SELECT grid.event_type, grid.bucket_ts, h.sum_cents FROM grid LEFT JOIN h USING (event_type, bucket_ts)),
+       |a1 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM g),
+       |a2 AS (SELECT *,
+       |  last_value(CASE WHEN sum_cents IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prev_rn,
+       |  last_value(CASE WHEN sum_cents IS NOT NULL THEN sum_cents END IGNORE NULLS) OVER wp AS prev_v,
+       |  last_value(CASE WHEN sum_cents IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wp AS prev_t,
+       |  first_value(CASE WHEN sum_cents IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS next_rn,
+       |  first_value(CASE WHEN sum_cents IS NOT NULL THEN sum_cents END IGNORE NULLS) OVER wn AS next_v,
+       |  first_value(CASE WHEN sum_cents IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wn AS next_t
+       |  FROM a1
+       |  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wn AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // queries
+  // -------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tier_15min" -> ((s, dir) => tierAt(s, dir, 900)),
+    "q_tier_1h" -> ((s, dir) => chain(tierAt(s, dir, 900).drop("mean_v"), 3600)),
+    "q_tier_1d" -> ((s, dir) =>
+      chain(chain(tierAt(s, dir, 900).drop("mean_v"), 3600).drop("mean_v"), 86400)),
+
+    // salted two-phase aggregation must equal the direct hourly tier
+    "q_salted_1h" -> ((s, dir) =>
+      withMean(
+        TimeSeriesOps.saltedTier(base(s, dir), Seq("event_type"), "epoch_s",
+            "cents", 3600, salts = 8, saltSource = "user_id")
+          .withColumnRenamed("sum_v", "sum_cents").drop("mean_v"))),
+
+    "q_ffill" -> ((s, dir) => {
+      val g = hourlyGrid(s, dir)
+      GapFill.ffill(g, Seq("event_type"), "bucket_ts", "sum_cents",
+          limit = 2, markerExpr = concat(col("event_type"), lit("_ffill")))
+        .select(col("event_type"), col("bucket_ts"),
+          col("sum_cents").as("value"), col("value_filled"),
+          TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
+    }),
+
+    "q_interp" -> ((s, dir) => {
+      val g = hourlyGrid(s, dir)
+      GapFill.interpolate(g, Seq("event_type"), "bucket_ts", "sum_cents",
+          maxGapPeriods = 4,
+          markerExpr = concat(col("event_type"), lit("_interpolated")))
+        .select(col("event_type"), col("bucket_ts"),
+          col("sum_cents").as("value"),
+          col("value_filled").cast("double").as("value_filled"),
+          TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
+    }),
+
+    "q_gap_report" -> ((s, dir) =>
+      GapFill.gapRuns(hourlyGrid(s, dir), Seq("event_type"), "bucket_ts",
+        "sum_cents")),
+
+    "q_markers_daily" -> ((s, dir) => {
+      val g = hourlyGrid(s, dir)
+      val interp = GapFill.interpolate(g, Seq("event_type"), "bucket_ts",
+        "sum_cents", maxGapPeriods = 4,
+        markerExpr = concat(col("event_type"), lit("_interpolated")))
+      interp
+        .groupBy(col("event_type"),
+          TimeSeriesOps.bucketStart(col("bucket_ts"), 86400).as("bucket_ts"))
+        .agg(TimeSeriesOps.rollupMarkers(col("markers")).as("markers"))
+        .select(col("event_type"), col("bucket_ts"),
+          TimeSeriesOps.renderMarkers(col("markers")).as("markers_day"))
+    }),
+
+    "q_dedupe_latest" -> ((s, dir) =>
+      TimeSeriesOps.dedupe(
+        base(s, dir).withColumn("bucket_ts",
+          TimeSeriesOps.bucketStart(col("epoch_s"), 900)),
+        Seq("user_id", "bucket_ts"), col("event_id").desc)
+        .select(col("user_id"), col("bucket_ts"), col("event_id"), col("cents"))),
+
+    "q_combine_first" -> ((s, dir) => {
+      val b = base(s, dir)
+      def hourlyOf(t: String) =
+        TimeSeriesOps.tier(b.filter(col("event_type") === t),
+            Seq.empty, "epoch_s", "cents", 3600)
+          .select(col("bucket_ts"), col("sum_v"))
+      TimeSeriesOps.combineFirst(
+          hourlyOf("click"), hourlyOf("view"), Seq("bucket_ts"), "sum_v")
+        .select(col("bucket_ts"), col("sum_v").as("value"), col("patched"))
+    }),
+
+    "q_trim_stats" -> ((s, dir) =>
+      TimeSeriesOps.trimStats(
+        base(s, dir).withColumn("value_n",
+          when(col("cents") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("cents"))),
+        Seq("event_type"), "epoch_s", "value_n")),
+
+    "q_shift_delta" -> ((s, dir) => {
+      val h = tierAt(s, dir, 3600)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ts"))
+      h.select(col("event_type"), col("bucket_ts"), col("sum_cents"),
+        (col("sum_cents") - lag(col("sum_cents"), 1).over(w)).as("delta"))
+    }),
+
+    "q_cumsum" -> ((s, dir) => {
+      val h = tierAt(s, dir, 3600)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h.select(col("event_type"), col("bucket_ts"), col("sum_cents"),
+        sum(col("sum_cents")).over(w).as("running"))
+    }),
+
+    "q_owncalc" -> ((s, dir) =>
+      base(s, dir)
+        .groupBy(TimeSeriesOps.bucketStart(col("epoch_s"), 3600).as("bucket_ts"))
+        .agg(
+          sum(when(col("event_type") === "click", col("cents"))).as("click_cents"),
+          sum(when(col("event_type") === "view", col("cents"))).as("view_cents"))
+        .withColumn("total_cents", col("click_cents") + col("view_cents"))
+        .withColumn("basis",
+          when(col("click_cents").isNotNull && col("view_cents").isNotNull,
+            lit("own calculation based on click | view")).otherwise(lit(""))))
+  )
+
+  // -------------------------------------------------------------------
+  // oracles
+  // -------------------------------------------------------------------
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tier_15min" -> meanSel(T15),
+    "q_tier_1h" -> meanSel(T1H),
+    "q_tier_1d" -> meanSel(T1D),
+    "q_salted_1h" -> meanSel(T1H),
+
+    "q_ffill" -> (GRID_ANN +
+      """SELECT event_type, bucket_ts, sum_cents AS value,
+        |  CASE WHEN sum_cents IS NULL AND rn - COALESCE(prev_rn, 0) <= 2 AND prev_v IS NOT NULL
+        |       THEN prev_v ELSE sum_cents END AS value_filled,
+        |  CASE WHEN sum_cents IS NULL AND rn - COALESCE(prev_rn, 0) <= 2 AND prev_v IS NOT NULL
+        |       THEN event_type || '_ffill' ELSE '' END AS marker
+        |FROM a2""".stripMargin),
+
+    "q_interp" -> (GRID_ANN +
+      """SELECT event_type, bucket_ts, sum_cents AS value,
+        |  CASE WHEN sum_cents IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+        |            AND (next_rn - COALESCE(prev_rn, 0) - 1) <= 4
+        |       THEN prev_v + (next_v - prev_v) * CAST(bucket_ts - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)
+        |       ELSE CAST(sum_cents AS DOUBLE) END AS value_filled,
+        |  CASE WHEN sum_cents IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+        |            AND (next_rn - COALESCE(prev_rn, 0) - 1) <= 4
+        |       THEN event_type || '_interpolated' ELSE '' END AS marker
+        |FROM a2""".stripMargin),
+
+    "q_gap_report" -> (GRID_ANN +
+      """SELECT event_type, min(bucket_ts) AS gap_start, max(bucket_ts) AS gap_end,
+        |  count(*) AS gap_len
+        |FROM a2 WHERE sum_cents IS NULL
+        |GROUP BY event_type, COALESCE(prev_rn, 0)""".stripMargin),
+
+    "q_markers_daily" -> (GRID_ANN +
+      """, m AS (SELECT event_type, bucket_ts,
+        |  CASE WHEN sum_cents IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+        |            AND (next_rn - COALESCE(prev_rn, 0) - 1) <= 4
+        |       THEN event_type || '_interpolated' ELSE '' END AS marker
+        |FROM a2)
+        |SELECT event_type, bucket_ts//86400*86400 AS bucket_ts,
+        |  COALESCE(string_agg(DISTINCT marker, ' | ' ORDER BY marker) FILTER (WHERE marker <> ''), '') AS markers_day
+        |FROM m GROUP BY 1, 2""".stripMargin),
+
+    "q_dedupe_latest" ->
+      s"""SELECT user_id, bucket_ts, event_id, cents FROM (
+         |  SELECT user_id, epoch_s//900*900 AS bucket_ts, event_id, cents,
+         |    row_number() OVER (PARTITION BY user_id, epoch_s//900*900 ORDER BY event_id DESC) AS rn
+         |  FROM $EV e) r WHERE rn = 1""".stripMargin,
+
+    "q_combine_first" ->
+      s"""WITH l AS (SELECT epoch_s//3600*3600 AS bucket_ts, CAST(sum(cents) AS BIGINT) AS lv FROM $EV e WHERE event_type = 'click' GROUP BY 1),
+         |r AS (SELECT epoch_s//3600*3600 AS bucket_ts, CAST(sum(cents) AS BIGINT) AS rv FROM $EV e WHERE event_type = 'view' GROUP BY 1)
+         |SELECT COALESCE(l.bucket_ts, r.bucket_ts) AS bucket_ts,
+         |  COALESCE(lv, rv) AS value,
+         |  (lv IS NULL AND rv IS NOT NULL) AS patched
+         |FROM l FULL OUTER JOIN r ON l.bucket_ts = r.bucket_ts""".stripMargin,
+
+    "q_trim_stats" ->
+      s"""SELECT event_type,
+         |  min(CASE WHEN value_n IS NOT NULL THEN epoch_s END) AS first_ts,
+         |  max(CASE WHEN value_n IS NOT NULL THEN epoch_s END) AS last_ts,
+         |  count(value_n) AS n_obs, count(*) AS n_rows
+         |FROM (SELECT event_type, epoch_s,
+         |        CASE WHEN cents % 7 = 0 THEN NULL ELSE cents END AS value_n
+         |      FROM $EV e) v
+         |GROUP BY 1""".stripMargin,
+
+    "q_shift_delta" ->
+      s"""SELECT event_type, bucket_ts, sum_cents,
+         |  sum_cents - lag(sum_cents, 1) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS delta
+         |FROM ($T1H) h""".stripMargin,
+
+    "q_cumsum" ->
+      s"""SELECT event_type, bucket_ts, sum_cents,
+         |  CAST(sum(sum_cents) OVER (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+         |FROM ($T1H) h""".stripMargin,
+
+    "q_owncalc" ->
+      s"""SELECT epoch_s//3600*3600 AS bucket_ts,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN cents END) AS BIGINT) AS click_cents,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view_cents,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN cents END) + sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS total_cents,
+         |  CASE WHEN sum(CASE WHEN event_type = 'click' THEN cents END) IS NOT NULL
+         |        AND sum(CASE WHEN event_type = 'view' THEN cents END) IS NOT NULL
+         |       THEN 'own calculation based on click | view' ELSE '' END AS basis
+         |FROM $EV e GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ingest.Pages
+import graft.rollup.TimeSeriesOps
+import graft.gapfill.GapFill
+import graft.chunk.ChunkWriter
+
+/** The flagship pipeline: Common-Crawl-style pages -> points -> retention
+  * tiers -> gap-fill -> Gorilla chunks, each stage exposed as a
+  * driver-verifiable query whose DuckDB oracle re-derives the identical
+  * pages table from `documents` inside a CTE (see Pages.oracleCte).
+  *
+  * Exactness: all metric values are integers or dyadic rationals (k/256),
+  * so sums are order-independent in float64 and tier values match the
+  * oracle bitwise (SURVEY.md §7.5).
+  */
+object PageQueries {
+
+  private val P = s"(${Pages.oracleCte})"
+
+  /** Points SQL: long-format (domain, metric, epoch_s, value). */
+  private val POINTS =
+    s"""SELECT domain, 'text_chars' AS metric, epoch_s, CAST(n_chars AS DOUBLE) AS value FROM $P p1
+       |UNION ALL SELECT domain, 'bytes', epoch_s, CAST(html_len AS DOUBLE) FROM $P p2
+       |UNION ALL SELECT domain, 'score', epoch_s, score FROM $P p3""".stripMargin
+
+  private val T15 =
+    s"SELECT domain, metric, epoch_s//900*900 AS bucket_ts, count(value) AS n, " +
+      s"sum(value) AS sum_v, sum(value)/count(value) AS mean_v FROM ($POINTS) pts GROUP BY 1, 2, 3"
+  private val T1H =
+    s"SELECT domain, metric, bucket_ts//3600*3600 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
+      s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM ($T15) t15 GROUP BY 1, 2, 3"
+  private val T1D =
+    s"SELECT domain, metric, bucket_ts//86400*86400 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
+      s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM ($T1H) t1h GROUP BY 1, 2, 3"
+
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Pages.toPoints(Pages.synthesize(s, dir))
+
+  private def tier15(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.tier(points(s, dir), Seq("domain", "metric"), "epoch_s",
+      "value", 900)
+
+  private def chain(df: DataFrame, period: Long): DataFrame =
+    TimeSeriesOps.chainTier(df, Seq("domain", "metric"), period)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pages_tier15" -> ((s, dir) => tier15(s, dir)),
+    "q_pages_1h" -> ((s, dir) => chain(tier15(s, dir), 3600)),
+    "q_pages_1d" -> ((s, dir) => chain(chain(tier15(s, dir), 3600), 86400)),
+
+    // hot-domain rollup via salted two-phase agg — must equal plain tier15
+    "q_pages_salted15" -> ((s, dir) =>
+      TimeSeriesOps.saltedTier(points(s, dir), Seq("domain", "metric"),
+        "epoch_s", "value", 900, salts = 16, saltSource = "epoch_s")),
+
+    // 15-min grid densify + linear interpolation on the score metric
+    "q_pages_interp" -> ((s, dir) => {
+      val t = tier15(s, dir).filter(col("metric") === "score")
+        .select(col("domain"), col("bucket_ts"), col("mean_v"))
+      val g = GapFill.densify(t, Seq("domain"), "bucket_ts", 900)
+      GapFill.interpolate(g, Seq("domain"), "bucket_ts", "mean_v",
+          maxGapPeriods = 8,
+          markerExpr = concat(col("domain"), lit("_score_interpolated")))
+        .select(col("domain"), col("bucket_ts"),
+          col("mean_v").as("value"), col("value_filled"),
+          TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
+    }),
+
+    // Gorilla encode -> decode roundtrip; oracle sees the plain tier,
+    // proving bit-exact chunk storage.
+    "q_gorilla_roundtrip" -> ((s, dir) => {
+      val t = tier15(s, dir).filter(col("metric") === "score")
+        .select(concat(col("domain"), lit("_score")).as("series_flat"),
+          col("bucket_ts").as("ts"), col("mean_v").as("value"))
+      val chunks = ChunkWriter.build(t, "15min", maxPoints = 256)
+      ChunkWriter.decode(chunks)
+        .select(col("series_flat"), col("ts").as("bucket_ts"), col("value"))
+    }),
+
+    // time-range chunk pruning: only chunks overlapping day 3 are decoded
+    "q_chunk_prune" -> ((s, dir) => {
+      val from = Pages.T0Epoch + 2 * 86400L
+      val until = Pages.T0Epoch + 3 * 86400L
+      val t = tier15(s, dir).filter(col("metric") === "score")
+        .select(concat(col("domain"), lit("_score")).as("series_flat"),
+          col("bucket_ts").as("ts"), col("mean_v").as("value"))
+      val chunks = ChunkWriter.build(t, "15min", maxPoints = 96)
+      ChunkWriter.decode(ChunkWriter.pruneByTime(chunks, from, until))
+        .filter(col("ts") >= from && col("ts") < until)
+        .select(col("series_flat"), col("ts").as("bucket_ts"), col("value"))
+    }),
+
+    // per-row invariant: text bytes survive a partitioned write+read
+    "q_text_invariant" -> ((s, dir) => {
+      val pages = Pages.synthesize(s, dir)
+      val out = s"/root/repo/target/verify_tmp/pages_rt"
+      Pages.writePartitioned(pages.select("url", "warc_ts", "html", "text", "lang"),
+        out, buckets = 16)
+      s.read.parquet(out)
+        .select(col("url"), sha2(col("text"), 256).as("h")).distinct()
+    }),
+
+    // top hot domains by visit count (rank with deterministic tie-break)
+    "q_topk_domains" -> ((s, dir) => {
+      val cnt = Pages.synthesize(s, dir)
+        .select(regexp_extract(col("url"), "https://([^/]+)/", 1).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("visits"))
+      val w = Window.orderBy(col("visits").desc, col("domain"))
+      cnt.withColumn("rk", rank().over(w)).filter(col("rk") <= 10)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pages_tier15" -> T15,
+    "q_pages_1h" -> T1H,
+    "q_pages_1d" -> T1D,
+    "q_pages_salted15" -> T15,
+
+    "q_pages_interp" ->
+      s"""WITH t AS (SELECT domain, bucket_ts, mean_v FROM ($T15) t15 WHERE metric = 'score'),
+         |span AS (SELECT domain, min(bucket_ts) AS t0, max(bucket_ts) AS t1 FROM t GROUP BY 1),
+         |grid AS (SELECT domain, UNNEST(generate_series(t0, t1, 900)) AS bucket_ts FROM span),
+         |g AS (SELECT grid.domain, grid.bucket_ts, t.mean_v FROM grid LEFT JOIN t USING (domain, bucket_ts)),
+         |a1 AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY bucket_ts) AS rn FROM g),
+         |a2 AS (SELECT *,
+         |  last_value(CASE WHEN mean_v IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prev_rn,
+         |  last_value(CASE WHEN mean_v IS NOT NULL THEN mean_v END IGNORE NULLS) OVER wp AS prev_v,
+         |  last_value(CASE WHEN mean_v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wp AS prev_t,
+         |  first_value(CASE WHEN mean_v IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS next_rn,
+         |  first_value(CASE WHEN mean_v IS NOT NULL THEN mean_v END IGNORE NULLS) OVER wn AS next_v,
+         |  first_value(CASE WHEN mean_v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wn AS next_t
+         |  FROM a1
+         |  WINDOW wp AS (PARTITION BY domain ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (PARTITION BY domain ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT domain, bucket_ts, mean_v AS value,
+         |  CASE WHEN mean_v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+         |            AND (next_rn - COALESCE(prev_rn, 0) - 1) <= 8
+         |       THEN prev_v + (next_v - prev_v) * CAST(bucket_ts - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)
+         |       ELSE mean_v END AS value_filled,
+         |  CASE WHEN mean_v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+         |            AND (next_rn - COALESCE(prev_rn, 0) - 1) <= 8
+         |       THEN domain || '_score_interpolated' ELSE '' END AS marker
+         |FROM a2""".stripMargin,
+
+    "q_gorilla_roundtrip" ->
+      s"""SELECT domain || '_score' AS series_flat, bucket_ts, mean_v AS value
+         |FROM ($T15) t WHERE metric = 'score'""".stripMargin,
+
+    "q_chunk_prune" ->
+      s"""SELECT domain || '_score' AS series_flat, bucket_ts, mean_v AS value
+         |FROM ($T15) t WHERE metric = 'score'
+         |  AND bucket_ts >= ${Pages.T0Epoch + 2 * 86400L}
+         |  AND bucket_ts < ${Pages.T0Epoch + 3 * 86400L}""".stripMargin,
+
+    "q_text_invariant" ->
+      s"SELECT DISTINCT url, sha256(text) AS h FROM $P p",
+
+    "q_topk_domains" ->
+      s"""SELECT domain, visits, rk FROM (
+         |  SELECT domain, CAST(count(*) AS BIGINT) AS visits,
+         |    rank() OVER (ORDER BY count(*) DESC, domain) AS rk
+         |  FROM $P p GROUP BY domain) r
+         |WHERE rk <= 10""".stripMargin
+  )
+}
