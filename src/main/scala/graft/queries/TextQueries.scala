@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.ingest.Pages
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingRollup
+
+/** Training-data-pipeline queries over `documents` (and the synthesized
+  * pages for multimodal): dedup, language ID, quality, token stats,
+  * fingerprints. Expressible ops carry a DuckDB oracle; the LSH/sketch ops
+  * (minhash, simhash) are rows-only here and property-tested in ScalaTest.
+  */
+object TextQueries {
+
+  /** documents + injected exact duplicates (doc_id % 10 == 0 re-appears as
+    * doc_id + 100000) — the fixture has no natural dups.
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    d.union(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val DOCS_DUP =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)"
+
+  /** documents + injected NEAR-duplicates: doc_id % 7 == 0 re-appears as
+    * doc_id + 200000 with ' trailer' appended — high but non-1.0 Jaccard.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    d.union(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graft trailer token")).as("text")))
+  }
+
+  private val TOKS = "string_split_regex(trim(text), '\\s+')"
+  private def hits(dict: Seq[String]): String =
+    s"len(list_filter($TOKS, x -> x IN (${dict.map("'" + _ + "'").mkString(", ")})))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedupe(docsWithDups(s, dir), "doc_id", "text")),
+
+    "q_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    "q_quality" -> ((s, dir) =>
+      TextOps.qualityStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    "q_langid" -> ((s, dir) =>
+      TextOps.langScores(
+          s.read.parquet(s"$dir/documents.parquet"), "text")
+        .select((Seq(col("doc_id"), col("lang")) ++
+          TextOps.langDicts.map { case (l, _) => col(s"n_$l") } :+
+          col("predicted") :+
+          (col("predicted") === col("lang")).as("is_match")): _*)),
+
+    "q_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), md5(col("text")).as("fp_md5"))),
+
+    // rows-only: 64-bit rolling FNV + simhash per doc (no SQL oracle —
+    // covered by unit/property tests)
+    "q_fingerprint_rolling" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.fingerprints(d, "doc_id", "text")
+        .join(TextOps.simhashTable(d, "doc_id", "text"), "doc_id")
+    }),
+
+    // rows-only: MinHash+LSH near-dup pairs (expect the injected
+    // near-dups plus any naturally similar synthetic docs)
+    "q_minhash_pairs" -> ((s, dir) =>
+      TextOps.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5)),
+
+    // rows-only: SimHash Hamming-<=3 candidate pairs over the same corpus
+    "q_simhash_pairs" -> ((s, dir) =>
+      TextOps.simhashNearDups(
+        TextOps.simhashTable(docsWithNearDups(s, dir), "doc_id", "text"),
+        "doc_id", maxDist = 3)),
+
+    // multimodal stub decode over the synthesized pages' html payloads
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Pages.synthesize(s, dir).dropDuplicates("url"), "url", "html")
+        .toDF()),
+
+    // Structured Streaming hourly rollup == batch hourly tier
+    "q_stream_1h" -> ((s, dir) =>
+      StreamingRollup.hourlyRollup(s, dir, "graft_stream_verify"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      (s"SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper, " +
+        s"count(*) AS n_copies FROM $DOCS_DUP d GROUP BY 1"),
+
+    "q_token_stats" ->
+      s"""SELECT doc_id, CAST(len($TOKS) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct($TOKS)) AS INT) AS n_uniq,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(len(list_distinct($TOKS)) AS DOUBLE) / len($TOKS) AS ttr
+         |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      s"""SELECT doc_id, CAST(len($TOKS) AS INT) AS n_tokens,
+         |  CAST(${hits(TextOps.langDicts.head._2)} AS INT) AS n_stop,
+         |  CAST(${hits(TextOps.langDicts.head._2)} AS DOUBLE) / len($TOKS) AS stop_ratio,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($TOKS) AS mean_token_len
+         |FROM documents""".stripMargin,
+
+    "q_langid" -> {
+      val scoreSel = TextOps.langDicts
+        .map { case (l, d) => s"CAST(${hits(d)} AS INT) AS n_$l" }
+        .mkString(", ")
+      val best = TextOps.langDicts.map { case (l, _) => s"n_$l" }
+        .mkString("greatest(", ", ", ")")
+      val caseExpr = TextOps.langDicts
+        .map { case (l, _) => s"WHEN n_$l >= $best THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH sc AS (SELECT doc_id, lang, $scoreSel FROM documents)
+         |SELECT doc_id, lang, ${TextOps.langDicts.map { case (l, _) => s"n_$l" }.mkString(", ")},
+         |  $caseExpr AS predicted,
+         |  ($caseExpr = lang) AS is_match
+         |FROM sc""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    "q_multimodal" -> {
+      val P = s"(${Pages.oracleCte})"
+      s"""SELECT DISTINCT url, CAST(n_chars + 26 AS BIGINT) AS n_bytes,
+         |  CAST(64 + (n_chars + 26) % 251 AS INT) AS width,
+         |  CAST(64 + (n_chars + 26) % 241 AS INT) AS height,
+         |  CASE (n_chars + 26) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
+         |FROM $P p""".stripMargin
+    },
+
+    "q_stream_1h" ->
+      s"""SELECT event_type, (epoch_us(ts)//1000000)//3600*3600 AS bucket_ts,
+         |  count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,249 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for a web-scale training-data
+  * pipeline, built from codegen'd `functions._` wherever possible (no UDFs
+  * in the hot path; SimHash is the one typed-map op, documented below).
+  *
+  * These extend the reference's capability set — OPSD has no text ops —
+  * per the brief: dedup (exact, MinHash+LSH, n-gram Jaccard), language ID,
+  * quality scoring, token counting, fingerprinting.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, engine-wide definition. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles: transform over a position sequence + slice —
+    * pure Catalyst expressions, fully codegen'd, no UDF.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exact dedup by content hash: one surviving doc per distinct text. */
+  def exactDedupe(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH near-dup detection
+  // -------------------------------------------------------------------
+
+  /** 31-bit Carter–Wegman hash family over xxhash64(shingle):
+    * h_k(x) = (a_k * x + b_k) mod (2^31 - 1). Parameters derived
+    * deterministically from k (no RNG — reproducible across runs/sessions).
+    */
+  private val P31 = 2147483647L
+  private def aK(k: Int): Long = 2 * (1103515245L * (k + 1) % (P31 / 2)) + 1
+  private def bK(k: Int): Long = 12345L * (k + 7) % P31
+
+  /** MinHash signature (array of K longs) for a text column. */
+  def minhashSig(text: Column, k: Int): Column = {
+    val hs = transform(shingles(text, 3), s => pmod(xxhash64(s), lit(P31)))
+    array((0 until k).map { i =>
+      aggregate(hs, lit(Long.MaxValue),
+        (acc, x) => least(acc, pmod(lit(aK(i)) * x + lit(bK(i)), lit(P31))))
+    }: _*)
+  }
+
+  /** LSH banding: candidate pairs whose signatures collide in >= 1 band,
+    * then EXACT shingle-set Jaccard verification of every candidate.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard >= threshold.
+    *
+    * Scale shape: the band explode + groupBy is a shuffle on
+    * (band_idx, band_hash) — collisions are rare by construction, so the
+    * join fan-out stays tiny; the expensive exact Jaccard only runs on
+    * candidates (classic MinHash-LSH contract).
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val rows = k / bands
+    val sig = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .withColumn("sig", minhashSig(col("txt"), k))
+      .withColumn("shin", array_distinct(shingles(col("txt"), 3)))
+    val banded = sig.select(
+      col("doc"), col("shin"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))
+            .as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("doc"), col("shin"),
+        col("band.band_idx"), col("band.band_hash"))
+    val l = banded.select(col("band_idx"), col("band_hash"),
+      col("doc").as("doc_a"), col("shin").as("shin_a"))
+    val r = banded.select(col("band_idx"), col("band_hash"),
+      col("doc").as("doc_b"), col("shin").as("shin_b"))
+    val cand = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "shin_a", "shin_b").distinct()
+    cand
+      .withColumn("inter", size(array_intersect(col("shin_a"), col("shin_b"))))
+      .withColumn("uni",
+        size(array_distinct(concat(col("shin_a"), col("shin_b")))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard between explicit pairs (the verification kernel
+    * of the LSH pipeline, exposed standalone).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(shingles(a, n))
+    val sb = array_distinct(shingles(b, n))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_distinct(concat(sa, sb)))
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash (64-bit) — typed map (bit-bucketed majority vote is a poor
+  // fit for per-column expressions; this is the documented exception to
+  // the no-closures rule, O(tokens) per row, partition-local).
+  // -------------------------------------------------------------------
+
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong * 0x9e3779b97f4a7c15L +
+        scala.util.hashing.MurmurHash3.stringHash(t.reverse)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, txt) =>
+        (id, simhash64(txt.trim.split("\\s+").toSeq))
+      }
+      .toDF(idCol, "simhash")
+  }
+
+  /** Hamming-distance near-dup candidates from a simhash table: block on
+    * 4 x 16-bit chunks (two docs within Hamming distance 3 of each other
+    * must agree on at least one chunk — pigeonhole), verify with exact
+    * popcount.
+    */
+  def simhashNearDups(sim: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val chunked = sim.select(col(idCol).as("doc"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
+            .as("chunk_val"))
+      }: _*)).as("c"))
+      .select(col("doc"), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
+    val l = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("doc").as("doc_a"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("doc").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // -------------------------------------------------------------------
+  // Language ID + quality + token stats (pure column expressions,
+  // SQL-mirrorable for the DuckDB oracle)
+  // -------------------------------------------------------------------
+
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了")
+  )
+
+  def stopHits(text: Column, dict: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(dict.map(lit(_)): _*)))
+
+  /** Stopword-hit language scores + first-max prediction in fixed dict
+    * order (deterministic, SQL-CASE-mirrorable).
+    */
+  def langScores(docs: DataFrame, textCol: String): DataFrame = {
+    val withScores = langDicts.foldLeft(docs) { case (df, (lng, dict)) =>
+      df.withColumn(s"n_$lng", stopHits(col(textCol), dict))
+    }
+    val scoreCols = langDicts.map { case (lng, _) => col(s"n_$lng") }
+    val best = greatest(scoreCols: _*)
+    val predicted = langDicts.foldRight(lit("und")) { case ((lng, _), acc) =>
+      when(col(s"n_$lng") >= best, lit(lng)).otherwise(acc)
+    }
+    // foldRight builds en-first CASE: en wins ties, matching the oracle
+    withScores.withColumn("predicted", predicted)
+  }
+
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq"),
+      length(col(textCol)).as("n_chars"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+  }
+
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = stopHits(col(textCol), langDicts.head._2)
+    val charsNoSpace = length(regexp_replace(col(textCol), " ", ""))
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      nStop.as("n_stop"),
+      (nStop.cast("double") / nTok).as("stop_ratio"),
+      (charsNoSpace.cast("double") / nTok).as("mean_token_len"))
+  }
+
+  /** Content fingerprints: md5 (oracle-checkable) plus a 64-bit rolling
+    * polynomial hash over the UTF-8 bytes (engine-native, used for
+    * cheap page-revision change detection at crawl scale).
+    */
+  def rollingHash64(text: String): Long = {
+    var h = 1469598103934665603L // FNV offset basis
+    var i = 0
+    while (i < text.length) {
+      h = (h ^ text.charAt(i)) * 1099511628211L // FNV-1a step
+      i += 1
+    }
+    h
+  }
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rolling = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, txt) => (id, rollingHash64(txt)) }
+      .toDF(idCol, "fp_rolling")
+    docs.select(col(idCol), md5(col(textCol)).as("fp_md5"))
+      .join(rolling, idCol)
+  }
+}
