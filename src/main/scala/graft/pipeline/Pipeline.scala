@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.Pages
+import graft.rollup.TimeSeriesOps
+import graft.chunk.ChunkWriter
+import graft.table.ManifestTableLayer
+import graft.checkpoint.Checkpoint
+import graft.retention.Retention
+
+/** The end-to-end engine pipeline over a canonical
+  * `pages(url, warc_ts, html, text, lang)` table (SURVEY.md §3.4):
+  *
+  *   pages (partitioned bucket x day)
+  *     -> points (domain-level metrics derived from the page row ONLY)
+  *     -> 15min tier  (algebraic partials, per-day partitions)
+  *     -> hourly tier  (chained from stored 15min partitions)
+  *     -> daily tier   (chained from stored hourly partitions)
+  *     -> Gorilla chunk partitions + delta index per day
+  *   all stages checkpointed per (tier, day) partition in a
+  *   ManifestTableLayer; retention sweeps raw tiers, aggregates survive.
+  *
+  * Partition-independence invariant: every work unit is a pure function of
+  * one day of one tier (windows never span days: 900 | 3600 | 86400 all
+  * divide a day), so units can run/retry/resume in any order on any number
+  * of executors. Gap-fill is a query-time op over stored tiers (OPSD
+  * semantics, cross-day windows) rather than part of the per-day build.
+  */
+object Pipeline {
+
+  val Tiers: Seq[(String, Long)] = Seq("15min" -> 900L, "1h" -> 3600L, "1d" -> 86400L)
+
+  /** Long-format points derived purely from canonical page columns. */
+  def pointsFromPages(pages: DataFrame): DataFrame = {
+    val base = pages.select(
+      regexp_extract(col("url"), "https://([^/]+)/", 1).as("domain"),
+      unix_timestamp(col("warc_ts")).as("epoch_s"),
+      length(col("text")).cast("double").as("text_chars"),
+      length(col("html")).cast("double").as("bytes"))
+    base.select(col("domain"), col("epoch_s"),
+      explode(map(
+        lit("text_chars"), col("text_chars"),
+        lit("bytes"), col("bytes"))).as(Seq("metric", "value")))
+  }
+
+  private val seriesCols = Seq("domain", "metric")
+
+  def tierKey(tier: String, day: String) = s"tier=$tier/day=$day"
+  def chunkKey(tier: String, day: String) = s"chunks-$tier/day=$day"
+  def indexKey(tier: String, day: String) = s"index-$tier/day=$day"
+
+  /** Distinct days present in the pages table (partition column if the
+    * table is partitioned, derived otherwise).
+    */
+  def listDays(spark: SparkSession, pagesPath: String): Seq[String] = {
+    val pages = spark.read.parquet(pagesPath)
+    val withDay =
+      if (pages.columns.contains("day")) pages.select(col("day").cast("string"))
+      else pages.select(to_date(col("warc_ts")).cast("string").as("day"))
+    withDay.distinct().collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Build all tier + chunk partitions for the given days, resumable.
+    * Returns number of newly committed partitions.
+    */
+  def runRollup(
+      spark: SparkSession,
+      pagesPath: String,
+      table: ManifestTableLayer,
+      days: Seq[String],
+      chunkMaxPoints: Int = 1024,
+      indexBuckets: Int = 16,
+      failAfter: Int = -1
+  ): Int = {
+    import spark.implicits._
+    val pages = spark.read.parquet(pagesPath)
+
+    def dayPages(day: String): DataFrame =
+      if (pages.columns.contains("day")) pages.filter(col("day") === day)
+      else pages.filter(to_date(col("warc_ts")) === to_date(lit(day)))
+
+    // tier-0 from raw pages, higher tiers chained from the STORED child
+    // tier partition (continuous aggregates: raw data is read once)
+    def tierUnit(tier: String, period: Long, day: String): () => DataFrame = () => {
+      if (tier == "15min")
+        TimeSeriesOps.tier(pointsFromPages(dayPages(day)), seriesCols,
+          "epoch_s", "value", period)
+      else {
+        val child = if (tier == "1h") "15min" else "1h"
+        val childDf = spark.read.parquet(table.dataDir(tierKey(child, day)).toString)
+        TimeSeriesOps.chainTier(childDf, seriesCols, period)
+      }
+    }
+
+    def chunkUnit(day: String): () => DataFrame = () => {
+      val t15 = spark.read.parquet(table.dataDir(tierKey("15min", day)).toString)
+      val flat = t15.select(
+        concat_ws("_", col("domain"), col("metric")).as("series_flat"),
+        col("bucket_ts").as("ts"), col("mean_v").as("value"))
+      ChunkWriter.build(flat, "15min", chunkMaxPoints).toDF()
+    }
+
+    def indexUnit(day: String): () => DataFrame = () => {
+      val chunks = spark.read.parquet(table.dataDir(chunkKey("15min", day)).toString)
+        .as[ChunkWriter.FlatChunk]
+      ChunkWriter.buildIndex(chunks, indexBuckets).toDF()
+    }
+
+    // stage order matters (parents read stored children); within a stage
+    // units are independent and resumable
+    var n = 0
+    for ((tier, period) <- Tiers) {
+      val units = days.map(d => tierKey(tier, d) -> tierUnit(tier, period, d))
+      n += Checkpoint.runResumable(table, units,
+        lineage = s"rollup:$tier<-${if (tier == "15min") "pages" else "child-tier"}",
+        failAfter = failAfter).size
+    }
+    n += Checkpoint.runResumable(table,
+      days.map(d => chunkKey("15min", d) -> chunkUnit(d)),
+      lineage = "gorilla:15min", failAfter = failAfter).size
+    n += Checkpoint.runResumable(table,
+      days.map(d => indexKey("15min", d) -> indexUnit(d)),
+      lineage = "delta-index:chunks-15min", failAfter = failAfter).size
+    n
+  }
+
+  /** Read one full tier back from the table (all live day partitions). */
+  def readTier(spark: SparkSession, table: ManifestTableLayer, tier: String): DataFrame = {
+    val prefix = s"tier=$tier/"
+    val parts = table.currentPartitions().filter(_.key.startsWith(prefix))
+    require(parts.nonEmpty, s"no live partitions for tier $tier")
+    spark.read.parquet(parts.map(_.path): _*)
+  }
+
+  /** Retention: drop raw 15-min partitions (and their chunk/index
+    * partitions) older than cutoffDay; aggregates (1h/1d) stay.
+    */
+  def sweepRaw(table: ManifestTableLayer, cutoffDay: String): Long = {
+    Retention.sweep(table, "15min", cutoffDay)
+    table.dropPartitions { p =>
+      (p.key.startsWith("chunks-15min/day=") &&
+        p.key.stripPrefix("chunks-15min/day=") < cutoffDay) ||
+      (p.key.startsWith("index-15min/day=") &&
+        p.key.stripPrefix("index-15min/day=") < cutoffDay)
+    }
+  }
+
+  /** Per-row invariant check: every url's text hash in the pages table is
+    * unique (one text per url) — returns violation count (0 == ok).
+    */
+  def textInvariantViolations(spark: SparkSession, pagesPath: String): Long = {
+    spark.read.parquet(pagesPath)
+      .groupBy(col("url"))
+      .agg(countDistinct(sha2(col("text"), 256)).as("n_hashes"))
+      .filter(col("n_hashes") > 1)
+      .count()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.Pages
+import graft.pipeline.Pipeline
+import graft.table.ManifestTableLayer
+import graft.checkpoint.Checkpoint
+
+/** Queries that drive the REAL storage machinery inside the correctness
+  * gate: each builds a fresh ManifestTableLayer with the full pipeline
+  * (tiers + chunks + index, per-day checkpointed), then exercises
+  * retention / crash-resume and reads the result back. Oracles recompute
+  * the expected state from `documents` directly.
+  */
+object RetentionQueries {
+
+  private val P = s"(${Pages.oracleCte})"
+
+  /** Pipeline points (canonical page columns only: no synthetic score). */
+  private val PTS2 =
+    s"SELECT domain, 'text_chars' AS metric, epoch_s, CAST(n_chars AS DOUBLE) AS value FROM $P p1 " +
+      s"UNION ALL SELECT domain, 'bytes', epoch_s, CAST(n_chars + 26 AS DOUBLE) FROM $P p2"
+  private val T15 =
+    s"SELECT domain, metric, epoch_s//900*900 AS bucket_ts, count(value) AS n, " +
+      s"sum(value) AS sum_v, sum(value)/count(value) AS mean_v FROM ($PTS2) pts GROUP BY 1, 2, 3"
+  private val T1H =
+    s"SELECT domain, metric, bucket_ts//3600*3600 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
+      s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM ($T15) t15 GROUP BY 1, 2, 3"
+  private val T1D =
+    s"SELECT domain, metric, bucket_ts//86400*86400 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
+      s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM ($T1H) t1h GROUP BY 1, 2, 3"
+
+  private val CutoffDay = "2024-01-04"
+  private val CutoffEpoch = 1704326400L
+
+  private def freshRoot(name: String): String = {
+    val p = java.nio.file.Paths.get(s"/root/repo/target/verify_tmp/$name")
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    p.toString
+  }
+
+  /** synth pages -> full rollup into a fresh table; returns the table. */
+  private def buildTable(s: SparkSession, dir: String, root: String,
+      failAfter: Int = -1): ManifestTableLayer = {
+    val pagesPath = s"$root/pages"
+    Pages.writePartitioned(
+      Pages.synthesize(s, dir).select("url", "warc_ts", "html", "text", "lang"),
+      pagesPath, buckets = 16)
+    val table = new ManifestTableLayer(s"$root/table")
+    val days = Pipeline.listDays(s, pagesPath)
+    if (failAfter >= 0) {
+      try Pipeline.runRollup(s, pagesPath, table, days, failAfter = failAfter)
+      catch { case _: Checkpoint.InjectedCrash => () } // simulated kill
+    }
+    Pipeline.runRollup(s, pagesPath, table, days) // (re)run to completion
+    table
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sweep raw tier < cutoff; surviving 15-min partitions per day
+    "q_retention_raw" -> ((s, dir) => {
+      val table = buildTable(s, dir, freshRoot("ret_raw"))
+      Pipeline.sweepRaw(table, CutoffDay)
+      Pipeline.readTier(s, table, "15min")
+        .groupBy(graft.rollup.TimeSeriesOps.bucketStart(col("bucket_ts"), 86400)
+          .as("day_ts"))
+        .agg(count(lit(1)).as("n_points"), sum(col("n")).as("n_obs"))
+    }),
+
+    // aggregates must remain complete (all 7 days) AFTER the raw sweep
+    "q_retention_aggs" -> ((s, dir) => {
+      val table = buildTable(s, dir, freshRoot("ret_aggs"))
+      Pipeline.sweepRaw(table, CutoffDay)
+      Pipeline.readTier(s, table, "1d")
+        .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+    }),
+
+    // crash after 5 committed partitions, resume, hourly tier must equal
+    // the single-run result
+    "q_checkpoint_resume" -> ((s, dir) => {
+      val table = buildTable(s, dir, freshRoot("resume"), failAfter = 5)
+      Pipeline.readTier(s, table, "1h")
+        .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_retention_raw" ->
+      s"""SELECT bucket_ts//86400*86400 AS day_ts, count(*) AS n_points,
+         |  CAST(sum(n) AS BIGINT) AS n_obs
+         |FROM ($T15) t WHERE bucket_ts >= $CutoffEpoch GROUP BY 1""".stripMargin,
+    "q_retention_aggs" -> T1D,
+    "q_checkpoint_resume" -> T1H
+  )
+}
