@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.Ann
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val vectors = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to query 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Array(0.7f, 0.7f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: exact cosine ordering") {
+    val got = Ann.bruteForceTopK(vectors, "vec_id", "embedding", 0L, 4)
+      .select("vec_id", "rk").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(got.map(_._1) == Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("brute-force cosine values are sane") {
+    val cos = Ann.bruteForceTopK(vectors, "vec_id", "embedding", 0L, 4)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    assert(math.abs(cos(2L)) < 1e-6)          // orthogonal ~ 0
+    assert(math.abs(cos(3L) + 1.0) < 1e-6)    // opposite ~ -1
+    assert(cos(1L) > 0.99)                    // near-parallel
+  }
+
+  test("LSH finds a planted duplicate (identical vector -> identical bucket)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") === 0L)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    val withDup = emb.unionByName(planted)
+    val lsh = Ann.lshTopK(withDup, "vec_id", "embedding", 0L, 10, nPlanes = 8)
+      .select("vec_id", "rk").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(lsh.nonEmpty, "LSH probe returned no candidates")
+    assert(lsh.head._1 == 99999L, s"planted dup not rank 1: $lsh")
+  }
+
+  test("LSH results are consistent with brute-force ordering (subset, same order)") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1000000)
+      .select("vec_id").as[Long].collect().toSeq
+    val lsh = Ann.lshTopK(emb, "vec_id", "embedding", 0L, 10, nPlanes = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    // lsh order must be a subsequence of the exact ordering
+    val pos = brute.zipWithIndex.toMap
+    assert(lsh.map(pos).sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("shingles: 3-gram over tokens; short text collapses to one shingle") {
+    val df = Seq("a b c d", "x y").toDF("text")
+    val out = df.select(TextOps.shingles(col("text"), 3)).as[Seq[String]]
+      .collect().toSeq
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("x y"))
+  }
+
+  test("exact dedupe groups identical texts, keeps min id") {
+    val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = TextOps.exactDedupe(df, "doc_id", "text")
+      .select("keeper", "n_copies").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the planted near-duplicate and not the unrelated doc") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra"
+    val far = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = TextOps.minhashNearDups(df, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: identical -> 1.0, disjoint -> 0.0") {
+    val df = Seq(("a b c d e", "a b c d e", "p q r s t"))
+      .toDF("x", "y", "z")
+    val (same, disj) = df.select(
+        TextOps.ngramJaccard(col("x"), col("y"), 3),
+        TextOps.ngramJaccard(col("x"), col("z"), 3))
+      .as[(Double, Double)].head()
+    assert(same == 1.0 && disj == 0.0)
+  }
+
+  test("simhash: hamming(near-dup) << hamming(unrelated)") {
+    val base = (1 to 100).map(i => s"w$i")
+    val near = base.updated(5, "CHANGED")
+    val far = (1 to 100).map(i => s"v${i * 7}")
+    val hNear = java.lang.Long.bitCount(
+      TextOps.simhash64(base) ^ TextOps.simhash64(near))
+    val hFar = java.lang.Long.bitCount(
+      TextOps.simhash64(base) ^ TextOps.simhash64(far))
+    assert(hNear < 8, s"near dup hamming $hNear")
+    assert(hFar > 16, s"unrelated hamming $hFar")
+  }
+
+  test("simhash blocking finds pairs within maxDist") {
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 100).map(i => s"w$i").updated(3, "X")).mkString(" ")
+    val df = Seq((1L, base), (2L, near)).toDF("doc_id", "text")
+    val pairs = TextOps.simhashNearDups(
+        TextOps.simhashTable(df, "doc_id", "text"), "doc_id", maxDist = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("language ID prefers the dictionary with most hits; en wins ties") {
+    val df = Seq(
+      "the cat of the house is in a box", // en
+      "der hund und die katze ist nicht da", // de
+      "xyz qqq www" // nothing -> en by tie rule
+    ).toDF("text")
+    val out = TextOps.langScores(df, "text").select("predicted")
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "de", "en"))
+  }
+
+  test("rolling FNV-1a hash: deterministic, order-sensitive") {
+    val a = TextOps.rollingHash64("hello world")
+    val b = TextOps.rollingHash64("hello world")
+    val c = TextOps.rollingHash64("world hello")
+    assert(a == b && a != c)
+  }
+}

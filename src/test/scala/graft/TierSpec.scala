@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.rollup.TimeSeriesOps
+
+/** Algebraic invariants of the tier rollup (SURVEY.md §5.2): chained
+  * continuous aggregates equal direct aggregation, salted two-phase equals
+  * direct, marker resample is deterministic.
+  */
+class TierSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Seeded random points: dyadic values (k/256) so sums are exact. */
+  private lazy val points = {
+    val rnd = new java.util.Random(7)
+    (1 to 20000).map { _ =>
+      val series = s"s${rnd.nextInt(5)}"
+      val ts = 1704067200L + rnd.nextInt(7 * 86400)
+      val v = (rnd.nextInt(1 << 21) - (1 << 20)) / 256.0
+      (series, ts, v)
+    }.toDF("series", "ts", "v")
+  }
+
+  test("hourly chained from 15min partials == hourly computed directly") {
+    val t15 = TimeSeriesOps.tier(points, Seq("series"), "ts", "v", 900)
+    val chained = TimeSeriesOps.chainTier(t15, Seq("series"), 3600)
+    val direct = TimeSeriesOps.tier(points, Seq("series"), "ts", "v", 3600)
+    assert(chained.select("series", "bucket_ts", "n", "sum_v", "mean_v")
+      .except(direct.select("series", "bucket_ts", "n", "sum_v", "mean_v"))
+      .isEmpty)
+    assert(chained.count() == direct.count())
+  }
+
+  test("daily chained through hourly == daily computed directly") {
+    val t15 = TimeSeriesOps.tier(points, Seq("series"), "ts", "v", 900)
+    val t1h = TimeSeriesOps.chainTier(t15, Seq("series"), 3600)
+    val t1d = TimeSeriesOps.chainTier(t1h, Seq("series"), 86400)
+    val direct = TimeSeriesOps.tier(points, Seq("series"), "ts", "v", 86400)
+    assert(t1d.except(direct).isEmpty && t1d.count() == direct.count())
+  }
+
+  test("salted two-phase aggregation == direct aggregation, bitwise") {
+    val direct = TimeSeriesOps.tier(points, Seq("series"), "ts", "v", 3600)
+    val salted = TimeSeriesOps.saltedTier(points, Seq("series"), "ts", "v",
+      3600, salts = 16, saltSource = "ts")
+    assert(salted.except(direct).isEmpty && salted.count() == direct.count())
+  }
+
+  test("rollupMarkers: sorted deduped union; renderMarkers joins with ' | '") {
+    val df = Seq(
+      ("s", 0L, Seq("b_marker")),
+      ("s", 900L, Seq.empty[String]),
+      ("s", 1800L, Seq("a_marker", "b_marker"))
+    ).toDF("series", "ts", "markers")
+    val rolled = df.groupBy(col("series"))
+      .agg(TimeSeriesOps.rollupMarkers(col("markers")).as("m"))
+      .select(TimeSeriesOps.renderMarkers(col("m")))
+      .as[String].head()
+    assert(rolled == "a_marker | b_marker")
+  }
+
+  test("dedupe keeps exactly the highest-priority row per key") {
+    val df = Seq(
+      ("s", 0L, 1L, 10.0), ("s", 0L, 3L, 30.0), ("s", 0L, 2L, 20.0),
+      ("s", 900L, 9L, 90.0)
+    ).toDF("series", "ts", "prio", "v")
+    val out = TimeSeriesOps.dedupe(df, Seq("series", "ts"), col("prio").desc)
+      .select("series", "ts", "prio", "v").as[(String, Long, Long, Double)]
+      .collect().sortBy(_._2).toSeq
+    assert(out == Seq(("s", 0L, 3L, 30.0), ("s", 900L, 9L, 90.0)))
+  }
+
+  test("combineFirst: left wins, right patches, null-prop add matches pandas") {
+    val l = Seq((0L, Some(1.0)), (1L, None), (2L, Some(3.0)))
+      .toDF("k", "v")
+    val r = Seq((1L, Some(20.0)), (2L, Some(30.0)), (3L, Some(40.0)))
+      .toDF("k", "v")
+    val out = TimeSeriesOps.combineFirst(l, r, Seq("k"), "v")
+      .select("k", "v", "patched").as[(Long, Option[Double], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, Some(1.0), false), (1L, Some(20.0), true),
+      (2L, Some(3.0), false), (3L, Some(40.0), true)))
+  }
+}
