@@ -44,13 +44,24 @@ object TextOps {
   private def aK(k: Int): Long = 2 * (1103515245L * (k + 1) % (P31 / 2)) + 1
   private def bK(k: Int): Long = 12345L * (k + 7) % P31
 
-  /** MinHash signature (array of K longs) for a text column. */
+  /** Shingle hashes for a text column (computed once per row). */
+  def shingleHashes(text: Column): Column =
+    transform(shingles(text, 3), s => pmod(xxhash64(s), lit(P31)))
+
+  /** MinHash signature (array of K longs) in a SINGLE aggregate pass over
+    * the shingle hashes — one shingle tokenization/hash per row total, not
+    * per hash function (16x cheaper than the naive per-k formulation; at
+    * crawl scale signature cost dominates the whole LSH pipeline).
+    */
   def minhashSig(text: Column, k: Int): Column = {
-    val hs = transform(shingles(text, 3), s => pmod(xxhash64(s), lit(P31)))
-    array((0 until k).map { i =>
-      aggregate(hs, lit(Long.MaxValue),
-        (acc, x) => least(acc, pmod(lit(aK(i)) * x + lit(bK(i)), lit(P31))))
-    }: _*)
+    val aArr = array((0 until k).map(i => lit(aK(i))): _*)
+    val bArr = array((0 until k).map(i => lit(bK(i))): _*)
+    aggregate(
+      shingleHashes(text),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, x) =>
+        zip_with(acc, zip_with(aArr, bArr, (a, b) => pmod(a * x + b, lit(P31))),
+          (cur, h) => least(cur, h)))
   }
 
   /** LSH banding: candidate pairs whose signatures collide in >= 1 band,
@@ -71,26 +82,34 @@ object TextOps {
       threshold: Double = 0.5
   ): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
-      .withColumn("sig", minhashSig(col("txt"), k))
-      .withColumn("shin", array_distinct(shingles(col("txt"), 3)))
-    val banded = sig.select(
-      col("doc"), col("shin"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))
-            .as("band_hash"))
-      }: _*)).as("band"))
-      .select(col("doc"), col("shin"),
-        col("band.band_idx"), col("band.band_hash"))
-    val l = banded.select(col("band_idx"), col("band_hash"),
-      col("doc").as("doc_a"), col("shin").as("shin_a"))
-    val r = banded.select(col("band_idx"), col("band_hash"),
-      col("doc").as("doc_b"), col("shin").as("shin_b"))
+    val shinTable = docs
+      .select(col(idCol).as("doc"),
+        array_distinct(shingles(col(textCol), 3)).as("shin"))
+    // banding carries only (doc, band) — candidate pairs are deduped on the
+    // narrow id pair BEFORE the wide shingle arrays are joined back, so the
+    // shuffle moves ids, not documents (the part that matters at 10^12 docs).
+    // persisted: both sides of the self-join read it, and signature
+    // computation is the expensive part — never evaluate it twice.
+    val banded = docs.select(col(idCol).as("doc"),
+        minhashSig(col(textCol), k).as("sig"))
+      .select(col("doc"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band_idx"),
+            xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))
+              .as("band_hash"))
+        }: _*)).as("band"))
+      .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
+      .persist()
+    val l = banded.select(col("band_idx"), col("band_hash"), col("doc").as("doc_a"))
+    val r = banded.select(col("band_idx"), col("band_hash"), col("doc").as("doc_b"))
     val cand = l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "shin_a", "shin_b").distinct()
+      .select("doc_a", "doc_b").distinct()
     cand
+      .join(shinTable.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("shin", "shin_a"), "doc_a")
+      .join(shinTable.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("shin", "shin_b"), "doc_b")
       .withColumn("inter", size(array_intersect(col("shin_a"), col("shin_b"))))
       .withColumn("uni",
         size(array_distinct(concat(col("shin_a"), col("shin_b")))))
