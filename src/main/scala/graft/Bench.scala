@@ -40,8 +40,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // input scale: replicate the doc corpus to make stage work dominate
+    // fixed overhead (needed for meaningful scaling-efficiency numbers)
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "1").toInt
+    val days = sys.env.getOrElse("SPARK_GRAFT_BENCH_DAYS", "7").toInt
+    val stagesOnly = sys.env.contains("SPARK_GRAFT_STAGES_ONLY")
     val sfName = sfDir.replaceAll(".*/", "")
-    val benchRoot = s"/root/repo/target/bench/$sfName"
+    val benchRoot = s"/root/repo/target/bench/${sfName}_r${repl}_d$days"
     val pagesPath = s"$benchRoot/pages"
 
     // ---- warm-up: session + codegen + fixture file listing --------------
@@ -52,7 +57,8 @@ object Bench {
     // the fixture, shared by every run at this SF) -----------------------
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesPath))) {
       Pages.writePartitioned(
-        Pages.synthesize(spark, sfDir).select("url", "warc_ts", "html", "text", "lang"),
+        Pages.synthesize(spark, sfDir, repl, days)
+          .select("url", "warc_ts", "html", "text", "lang"),
         pagesPath, buckets = 16)
     }
 
@@ -137,7 +143,7 @@ object Bench {
     detail("pps_gorilla_encode") = f"${n15 / times("stage_gorilla_encode")}%.0f"
 
     // ---- headline queries (forced materialization) ----------------------
-    val headline = Seq(
+    val headline = if (stagesOnly) Seq.empty[String] else Seq(
       "q_tier_1h", "q_interp", "q_owncalc", "q_dedupe_latest",
       "q_pages_tier15", "q_pages_1h", "q_pages_interp",
       "q_gorilla_roundtrip", "q1_pricing", "q_region_revenue",

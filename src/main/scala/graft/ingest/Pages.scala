@@ -35,12 +35,21 @@ object Pages {
   val PeriodSec: Long = 900L
   val Periods: Int = 7 * 96
 
-  /** The derivation, Spark side. Mirrors `oracleCte` exactly. */
-  def synthesize(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  /** The derivation, Spark side. Mirrors `oracleCte` exactly (at
+    * `replicate = 1`; higher values repeat the corpus with shifted doc_ids
+    * to scale BENCHMARK input — the oracle contract only covers 1).
+    */
+  def synthesize(spark: SparkSession, sfDir: String, replicate: Int = 1,
+      days: Int = 7): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs =
+      if (replicate <= 1) base
+      else (0 until replicate).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
     docs
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      .withColumn("p", explode(sequence(lit(0), lit(Periods - 1))))
+      .withColumn("p", explode(sequence(lit(0), lit(days * 96 - 1))))
       .where(col("p") % (col("doc_id") % 4 + 1) === 0)
       .where((col("p") + col("doc_id") * 7) % 53 >= col("doc_id") % 13)
       .select(

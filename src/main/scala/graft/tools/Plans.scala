@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dump formatted physical plans for selected queries — the .explain
+  * review pass (pushdown present? broadcasts chosen? shuffle count sane?).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    args(0).split(",").foreach { name =>
+      println(s"\n======== $name ========")
+      SparkEntry.queries(name)(spark, sf).explain("formatted")
+    }
+    spark.stop()
+  }
+}
