@@ -179,6 +179,34 @@ object EventQueries {
         sum(col("sum_cents")).over(w).as("running"))
     }),
 
+    // Last-value downsample policy (reference resamples capacity columns
+    // with .last() — A2)
+    "q_tier_last" -> ((s, dir) =>
+      TimeSeriesOps.dedupe(
+        base(s, dir).withColumn("bucket_ts",
+          TimeSeriesOps.bucketStart(col("epoch_s"), 3600)),
+        Seq("event_type", "bucket_ts"),
+        struct(col("epoch_s"), col("event_id")).desc)
+        .select(col("event_type"), col("bucket_ts"),
+          col("cents").as("last_cents"))),
+
+    // summary/QA stats (reference notebook describe() — A6)
+    "q_summary" -> ((s, dir) =>
+      base(s, dir).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("epoch_s")).as("first_ts"),
+        max(col("epoch_s")).as("last_ts"))),
+
+    // stacked CSV export shape with UTC + CET/CEST rendering (S5 + F2 DST)
+    "q_stacked_export" -> ((s, dir) => {
+      val h = tierAt(s, dir, 3600)
+      graft.output.OutputShapes.stacked(
+        h, concat(col("event_type"), lit("_cents_sum")), "bucket_ts", "sum_cents")
+    }),
+
     "q_owncalc" -> ((s, dir) =>
       base(s, dir)
         .groupBy(TimeSeriesOps.bucketStart(col("epoch_s"), 3600).as("bucket_ts"))
@@ -268,6 +296,26 @@ object EventQueries {
     "q_cumsum" ->
       s"""SELECT event_type, bucket_ts, sum_cents,
          |  CAST(sum(sum_cents) OVER (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+         |FROM ($T1H) h""".stripMargin,
+
+    "q_tier_last" ->
+      s"""SELECT event_type, bucket_ts, cents AS last_cents FROM (
+         |  SELECT event_type, epoch_s//3600*3600 AS bucket_ts, cents,
+         |    row_number() OVER (PARTITION BY event_type, epoch_s//3600*3600
+         |                       ORDER BY epoch_s DESC, event_id DESC) AS rn
+         |  FROM $EV e) r WHERE rn = 1""".stripMargin,
+
+    "q_summary" ->
+      s"""SELECT event_type, count(*) AS n, min(cents) AS min_cents,
+         |  max(cents) AS max_cents, CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  min(epoch_s) AS first_ts, max(epoch_s) AS last_ts
+         |FROM $EV e GROUP BY 1""".stripMargin,
+
+    "q_stacked_export" ->
+      s"""SELECT event_type || '_cents_sum' AS series,
+         |  strftime(make_timestamp(bucket_ts * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS utc_timestamp,
+         |  strftime(timezone('Europe/Berlin', to_timestamp(bucket_ts)), '%Y-%m-%dT%H:%M:%S') AS cet_cest_timestamp,
+         |  sum_cents AS value
          |FROM ($T1H) h""".stripMargin,
 
     "q_owncalc" ->

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.output.{Metadata, OutputShapes}
+import java.nio.file.{Files, Paths}
+
+class OutputSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val tier = Seq(
+    ("a_load", 1704067200L, 10.5), // 2024-01-01 00:00 UTC -> CET +1
+    ("a_load", 1719792000L, 11.0), // 2024-07-01 00:00 UTC -> CEST +2
+    ("b_load", 1704067200L, 20.0)
+  ).toDF("series_flat", "ts", "v")
+
+  test("stacked export renders UTC Z and CET/CEST local times (DST-aware)") {
+    val out = OutputShapes.stacked(tier, col("series_flat"), "ts", "v")
+      .as[(String, String, String, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out(0) == ("a_load", "2024-01-01T00:00:00Z", "2024-01-01T01:00:00", 10.5))
+    assert(out(1) == ("a_load", "2024-07-01T00:00:00Z", "2024-07-01T02:00:00", 11.0))
+  }
+
+  test("singleindex export pivots to one column per series, ts-ordered columns first") {
+    val wide = OutputShapes.singleIndex(tier, col("series_flat"), "ts", "v")
+    assert(wide.columns.toSeq ==
+      Seq("utc_timestamp", "cet_cest_timestamp", "a_load", "b_load"))
+    val rows = wide.orderBy("utc_timestamp").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(2) == 10.5 && rows(0).getDouble(3) == 20.0)
+    assert(rows(1).getDouble(2) == 11.0 && rows(1).isNullAt(3))
+  }
+
+  test("singleindex refuses unbounded pivots") {
+    intercept[IllegalArgumentException] {
+      OutputShapes.singleIndex(tier, col("series_flat"), "ts", "v", maxSeries = 1)
+    }
+  }
+
+  test("datapackage descriptor pins file checksums that re-verify") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "export-")
+    OutputShapes.writeCsv(
+      OutputShapes.stacked(tier, col("series_flat"), "ts", "v")
+        .orderBy("series", "utc_timestamp").coalesce(1),
+      s"$dir/stacked")
+    val json = Metadata.dataPackage("test-export", dir.toString,
+      Seq(("stacked", tier)))
+    assert(json.contains("sha256"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(dir.resolve("datapackage.json")))
+    val files = node.get("resources").get(0).get("files")
+    assert(files.size() >= 1)
+    (0 until files.size()).foreach { i =>
+      val f = files.get(i)
+      val p = dir.resolve("stacked").resolve(f.get("file").asText())
+      assert(Metadata.sha256OfFile(p) == f.get("sha256").asText())
+      assert(Files.size(p) == f.get("bytes").asLong())
+    }
+  }
+}
