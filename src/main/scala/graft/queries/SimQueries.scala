@@ -22,8 +22,40 @@ object SimQueries {
       Ann.lshTopK(
         s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", queryId = 0L, k = 10, nPlanes = 8)
-        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk")))
+        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
+
+    "q_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10,
+        centroidEvery = 25L, nProbe = 4)
+        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Ann.cosineNearDups(
+        embeddingsWithNearDups(s, dir), "vec_id", "embedding",
+        threshold = 0.9))
   )
+
+  /** embeddings + injected near-duplicates: vec_id % 10 == 0 re-appears as
+    * vec_id + 100000 with the first component shifted by +0.25 — cosine
+    * ~0.97 vs the original, far above the fixture's natural pairwise max
+    * (~0.51). Arithmetic is double-exact on both engines (float->double is
+    * exact; 0.25 * 2^20 is an integer), so the oracle reproduces it.
+    */
+  private def embeddingsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pert = e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      concat(
+        array(element_at(col("embedding"), 1).cast("double") + 0.25),
+        transform(slice(col("embedding"), 2, 1000000), x => x.cast("double")))
+        .as("embedding"))
+    e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(pert)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_brute" ->
@@ -40,6 +72,51 @@ object SimQueries {
         |SELECT vec_id, cos, rk FROM (
         |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
         |  FROM scored) r
-        |WHERE rk <= 10""".stripMargin
+        |WHERE rk <= 10""".stripMargin,
+
+    // IVF replicated exactly: deterministic centroid sample (id % 25 == 0),
+    // nearest-centroid assignment, 4-probe, exact scoring inside probes.
+    // Division shapes mirror Ann.cosineQ (dot / sqrt(n2_left) / sqrt(n2_right))
+    // so the doubles are bitwise identical.
+    "q_ann_ivf" ->
+      """WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
+        |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+        |vc AS (SELECT v.vec_id, c.vec_id AS cell, CAST(sum(v.qe * c.qe) AS BIGINT) AS dot
+        |       FROM ex v JOIN ex c ON v.i = c.i AND c.vec_id % 25 = 0 GROUP BY 1, 2),
+        |vcc AS (SELECT vc.vec_id, cell,
+        |          CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos
+        |        FROM vc JOIN n2 nv ON nv.vec_id = vc.vec_id JOIN n2 nc ON nc.vec_id = vc.cell),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk
+        |  FROM vcc) WHERE rk = 1),
+        |probes AS (SELECT cell FROM vcc WHERE vec_id = 0 ORDER BY cos DESC, cell LIMIT 4),
+        |vq AS (SELECT v.vec_id, CAST(sum(v.qe * q.qe) AS BIGINT) AS dot
+        |       FROM ex v JOIN ex q ON v.i = q.i AND q.vec_id = 0
+        |       WHERE v.vec_id <> 0 GROUP BY 1),
+        |scored AS (SELECT vq.vec_id,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nq.n2 AS DOUBLE)) AS cos
+        |  FROM vq JOIN n2 nv ON nv.vec_id = vq.vec_id, (SELECT n2 FROM n2 WHERE vec_id = 0) nq
+        |  WHERE vq.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cell = p.cell))
+        |SELECT vec_id, cos, rk FROM (
+        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) r
+        |WHERE rk <= 10""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, [CAST(embedding[1] AS DOUBLE) + 0.25] || embedding[2:]
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
+        |              generate_subscripts(embedding, 1) AS i FROM u),
+        |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.qe * b.qe) AS BIGINT) AS dot
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos
+        |FROM dots JOIN n2 na ON na.vec_id = id_a JOIN n2 nb ON nb.vec_id = id_b
+        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) >= 0.9""".stripMargin
   )
 }

@@ -85,6 +85,17 @@ object TextQueries {
         TextOps.simhashTable(docsWithNearDups(s, dir), "doc_id", "text"),
         "doc_id", maxDist = 3)),
 
+    // exact 3-gram Jaccard between each doc and its injected near-dup —
+    // the verification kernel of the LSH pipeline, oracle-checked (the
+    // division of two small ints is bitwise-identical cross-engine)
+    "q_jaccard_pairs" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          TextOps.ngramJaccard(col("text"),
+            concat(col("text"), lit(" graft trailer token")), 3)
+            .as("jaccard"))),
+
     // multimodal stub decode over the synthesized pages' html payloads
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -133,6 +144,19 @@ object TextQueries {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    "q_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tka,
+        |                  string_split_regex(trim(text || ' graft trailer token'), '\s+') AS tkb
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(tka) < 3 THEN [array_to_string(tka, ' ')]
+        |    ELSE list_transform(generate_series(1, len(tka)-2), i -> tka[i] || ' ' || tka[i+1] || ' ' || tka[i+2]) END) AS sa,
+        |  list_distinct(CASE WHEN len(tkb) < 3 THEN [array_to_string(tkb, ' ')]
+        |    ELSE list_transform(generate_series(1, len(tkb)-2), i -> tkb[i] || ' ' || tkb[i+1] || ' ' || tkb[i+2]) END) AS sb
+        |  FROM d)
+        |SELECT doc_id, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) AS jaccard
+        |FROM sh""".stripMargin,
 
     "q_multimodal" -> {
       val P = s"(${Pages.oracleCte})"

@@ -107,4 +107,112 @@ object Ann {
       .orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest centroid; a query scores only the vectors assigned to its
+    * `nProbe` nearest centroids.
+    *
+    * Centroids here are a deterministic sample of the corpus
+    * (`id % centroidEvery == 0`) — k-means would drift per run and break
+    * reproducibility; at 10^12 rows the sample is a tiny broadcast table
+    * and the assignment pass is one codegen'd map stage. The assignment
+    * (`cell` column) is the storage/shuffle partition key at scale:
+    * write the corpus bucketed by `cell` and a probe touches only
+    * `nProbe` buckets (partition pruning instead of a full scan).
+    *
+    * Recall < 1 by design (asserted against brute force in AnnSpec).
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      centroidEvery: Long = 25L,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_cos").desc, col("_cell"))
+    val cents = broadcast(
+      vectors.filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+        .select(col(idCol).as("_cell"), col(vecCol).as("_cv")))
+    // coarse assignment: nearest centroid per vector (one broadcast
+    // nested-loop over ~|corpus|/centroidEvery centroids, no shuffle)
+    val assigned = vectors.join(cents)
+      .select(col(idCol), col(vecCol), col("_cell"),
+        cosineQ(dotQ(col(vecCol), col("_cv")),
+          norm2Q(col(vecCol)), norm2Q(col("_cv"))).as("_cos"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col(vecCol), col("_cell"))
+    // probe list: the query's nProbe nearest centroids
+    val probeCells = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qv"))
+      .join(cents)
+      .select(col("_cell"), col("_qv"),
+        cosineQ(dotQ(col("_qv"), col("_cv")),
+          norm2Q(col("_qv")), norm2Q(col("_cv"))).as("_cos"))
+      .orderBy(col("_cos").desc, col("_cell"))
+      .limit(nProbe)
+      .select("_cell", "_qv")
+    val scored = assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(probeCells), "_cell")
+      .select(col(idCol),
+        cosineQ(dotQ(col(vecCol), col("_qv")),
+          norm2Q(col(vecCol)), norm2Q(col("_qv"))).as("cos"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    * cosine >= threshold.
+    *
+    * Candidate generation is DETERMINISTIC chunk blocking (not LSH): the
+    * quantized vector is split into `nChunks` contiguous chunks and two
+    * vectors are candidates iff at least one chunk hash collides. By
+    * pigeonhole, any pair differing in fewer than `nChunks` quantized
+    * components is guaranteed a candidate — exactly the near-identical
+    * regime that embedding dedup targets (re-encoded / trivially edited
+    * pages). The general angular case keeps LSH (`lshTopK`); this op
+    * trades that generality for exact, engine-reproducible recall, which
+    * makes it DuckDB-oracle-checkable.
+    *
+    * Scale shape: the chunk-hash join shuffles (chunk_idx, hash, id) —
+    * narrow rows — and the wide vectors are only joined back for the
+    * surviving candidate ids, mirroring minhashNearDups.
+    */
+  def cosineNearDups(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nChunks: Int = 4
+  ): DataFrame = {
+    val qvec = transform(col(vecCol), x => qint(x))
+    // per-chunk width from the row's own vector length (no fixed dims)
+    val per = ceil(size(col(vecCol)).cast("double") / nChunks).cast("int")
+    val chunked = vectors
+      .select(col(idCol).as("_id"), col(vecCol), qvec.as("_qv"), per.as("_per"))
+      .select(col("_id"),
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk_idx"),
+            xxhash64(concat_ws(",",
+              slice(col("_qv"), lit(c) * col("_per") + 1, col("_per"))))
+              .as("chunk_hash"))
+        }: _*)).as("c"))
+      .select(col("_id"), col("c.chunk_idx"), col("c.chunk_hash"))
+    val l = chunked.select(col("chunk_idx"), col("chunk_hash"), col("_id").as("id_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk_hash"), col("_id").as("id_b"))
+    val cand = l.join(r, Seq("chunk_idx", "chunk_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineQ(dotQ(col("_va"), col("_vb")),
+          norm2Q(col("_va")), norm2Q(col("_vb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

@@ -42,6 +42,36 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.head._1 == 99999L, s"planted dup not rank 1: $lsh")
   }
 
+  test("IVF top-k: recall >= 0.5 vs brute force, scores exact on the overlap") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+        centroidEvery = 25L, nProbe = 4)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    assert(ivf.size == 10)
+    val overlap = ivf.keySet.intersect(brute.keySet)
+    assert(overlap.size >= 5, s"IVF recall too low: ${overlap.size}/10")
+    overlap.foreach(id => assert(ivf(id) == brute(id), s"score drift for $id"))
+  }
+
+  test("cosine near-dups: chunk blocking finds every pair differing in < nChunks components") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val pert = emb.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + 0.25),
+        slice(col("embedding"), 2, 1000000)).as("embedding"))
+    val n = pert.count()
+    val pairs = Ann.cosineNearDups(emb.unionByName(pert),
+        "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.size.toLong == n, s"expected $n injected pairs, got ${pairs.size}")
+    assert(pairs.forall { case (a, b) => b == a + 100000 })
+  }
+
   test("LSH results are consistent with brute-force ordering (subset, same order)") {
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
     val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1000000)
