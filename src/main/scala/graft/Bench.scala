@@ -72,52 +72,63 @@ object Bench {
     }
 
     // ---- pipeline stages -------------------------------------------------
+    // Run the whole stage sequence twice inside THIS JVM: iteration 0 warms
+    // JIT/codegen/page-cache (a fresh JVM measures the interpreter, not the
+    // engine — steady-state is what a long-running cluster job sees),
+    // iteration 1 overwrites the recorded times.
     val pages = spark.read.parquet(pagesPath)
-    val points = Pipeline.pointsFromPages(pages)
-    val nPoints = timed("stage_points_extract") { points.count() }
+    val t15Path = s"$benchRoot/t15"
+    val t1hPath = s"$benchRoot/t1h"
+    val t1dPath = s"$benchRoot/t1d"
+    val chunksPath = s"$benchRoot/chunks"
+    var (nPoints, n15, n1h, n1d) = (0L, 0L, 0L, 0L)
+
+    val iters = if (sys.env.contains("SPARK_GRAFT_NO_WARM")) 1 else 2
+    for (_ <- 1 to iters) {
+      nPoints = timed("stage_points_extract") {
+        Pipeline.pointsFromPages(pages).count()
+      }
+      timed("stage_rollup_15min") {
+        Pipeline.tier15FromPages(pages) // one pass: both metrics as agg columns
+          .write.mode("overwrite").parquet(t15Path)
+      }
+      n15 = spark.read.parquet(t15Path).count()
+      timed("stage_rollup_1h") {
+        TimeSeriesOps.chainTier(spark.read.parquet(t15Path), Seq("domain", "metric"), 3600)
+          .write.mode("overwrite").parquet(t1hPath)
+      }
+      n1h = spark.read.parquet(t1hPath).count()
+      timed("stage_rollup_1d") {
+        TimeSeriesOps.chainTier(spark.read.parquet(t1hPath), Seq("domain", "metric"), 86400)
+          .write.mode("overwrite").parquet(t1dPath)
+      }
+      n1d = spark.read.parquet(t1dPath).count()
+
+      val t15 = spark.read.parquet(t15Path)
+      timed("stage_gapfill_interp") {
+        force(GapFill.interpolate(
+          GapFill.densify(
+            t15.filter(col("metric") === "text_chars")
+              .select(col("domain"), col("bucket_ts"), col("mean_v")),
+            Seq("domain"), "bucket_ts", 900),
+          Seq("domain"), "bucket_ts", "mean_v", 8,
+          concat(col("domain"), lit("_interp"))))
+      }
+      timed("stage_gorilla_encode") {
+        ChunkWriter.build(
+          t15.select(concat_ws("_", col("domain"), col("metric")).as("series_flat"),
+            col("bucket_ts").as("ts"), col("mean_v").as("value")),
+          "15min", maxPoints = 1024)
+          .write.mode("overwrite").parquet(chunksPath)
+      }
+      timed("stage_gorilla_decode") {
+        import spark.implicits._
+        force(ChunkWriter.decode(
+          spark.read.parquet(chunksPath).as[ChunkWriter.FlatChunk]))
+      }
+    }
     detail("input_points") = nPoints.toString
 
-    val t15Path = s"$benchRoot/t15"
-    timed("stage_rollup_15min") {
-      Pipeline.pointsFromPages(pages) // rebuilt: no cross-stage cache reuse
-        .transform(p => TimeSeriesOps.tier(p, Seq("domain", "metric"), "epoch_s", "value", 900))
-        .write.mode("overwrite").parquet(t15Path)
-    }
-    val t15 = spark.read.parquet(t15Path)
-    val n15 = t15.count()
-
-    val t1hPath = s"$benchRoot/t1h"
-    timed("stage_rollup_1h") {
-      TimeSeriesOps.chainTier(spark.read.parquet(t15Path), Seq("domain", "metric"), 3600)
-        .write.mode("overwrite").parquet(t1hPath)
-    }
-    val n1h = spark.read.parquet(t1hPath).count()
-
-    val t1dPath = s"$benchRoot/t1d"
-    timed("stage_rollup_1d") {
-      TimeSeriesOps.chainTier(spark.read.parquet(t1hPath), Seq("domain", "metric"), 86400)
-        .write.mode("overwrite").parquet(t1dPath)
-    }
-    val n1d = spark.read.parquet(t1dPath).count()
-
-    timed("stage_gapfill_interp") {
-      force(GapFill.interpolate(
-        GapFill.densify(
-          t15.filter(col("metric") === "text_chars")
-            .select(col("domain"), col("bucket_ts"), col("mean_v")),
-          Seq("domain"), "bucket_ts", 900),
-        Seq("domain"), "bucket_ts", "mean_v", 8,
-        concat(col("domain"), lit("_interp"))))
-    }
-
-    val chunksPath = s"$benchRoot/chunks"
-    timed("stage_gorilla_encode") {
-      ChunkWriter.build(
-        t15.select(concat_ws("_", col("domain"), col("metric")).as("series_flat"),
-          col("bucket_ts").as("ts"), col("mean_v").as("value")),
-        "15min", maxPoints = 1024)
-        .write.mode("overwrite").parquet(chunksPath)
-    }
     val chunkStats = spark.read.parquet(chunksPath)
       .agg(sum(octet_length(col("blob"))).as("bytes"), sum(col("n")).as("pts"),
         count(lit(1)).as("chunks"))
@@ -127,12 +138,6 @@ object Bench {
     detail("chunk_count") = chunkStats.getLong(2).toString
     detail("gorilla_bytes_per_point") =
       f"${chunkStats.getLong(0).toDouble / chunkStats.getLong(1)}%.2f"
-
-    timed("stage_gorilla_decode") {
-      import spark.implicits._
-      force(ChunkWriter.decode(
-        spark.read.parquet(chunksPath).as[ChunkWriter.FlatChunk]))
-    }
 
     detail("tier_rows_15min") = n15.toString
     detail("tier_rows_1h") = n1h.toString

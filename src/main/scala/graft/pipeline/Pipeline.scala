@@ -44,6 +44,36 @@ object Pipeline {
         lit("bytes"), col("bytes"))).as(Seq("metric", "value")))
   }
 
+  /** 15-min tier directly from pages in ONE aggregation pass: both metrics
+    * are aggregated as columns of the same groupBy and only the 10^4x
+    * smaller aggregated rows are exploded into long format. Bitwise-equal
+    * to `tier(pointsFromPages(pages))` (PipelineSpec) but the shuffle and
+    * the explode see |series x buckets| rows instead of 2x|pages| — at
+    * crawl scale the difference between moving terabytes and megabytes.
+    */
+  def tier15FromPages(pages: DataFrame): DataFrame = {
+    val periodSec = 900L
+    pages
+      .select(
+        regexp_extract(col("url"), "https://([^/]+)/", 1).as("domain"),
+        TimeSeriesOps.bucketStart(unix_timestamp(col("warc_ts")), periodSec)
+          .as("bucket_ts"),
+        length(col("text")).cast("double").as("text_chars"),
+        length(col("html")).cast("double").as("bytes"))
+      .groupBy(col("domain"), col("bucket_ts"))
+      .agg(
+        count(col("text_chars")).as("n_tc"), sum(col("text_chars")).as("s_tc"),
+        count(col("bytes")).as("n_by"), sum(col("bytes")).as("s_by"))
+      .select(col("domain"), col("bucket_ts"),
+        explode(map(
+          lit("text_chars"), struct(col("n_tc").as("n"), col("s_tc").as("sum_v")),
+          lit("bytes"), struct(col("n_by").as("n"), col("s_by").as("sum_v"))))
+          .as(Seq("metric", "agg")))
+      .select(col("domain"), col("metric"), col("bucket_ts"),
+        col("agg.n").as("n"), col("agg.sum_v").as("sum_v"),
+        (col("agg.sum_v") / col("agg.n")).as("mean_v"))
+  }
+
   private val seriesCols = Seq("domain", "metric")
 
   def tierKey(tier: String, day: String) = s"tier=$tier/day=$day"
@@ -84,8 +114,7 @@ object Pipeline {
     // tier partition (continuous aggregates: raw data is read once)
     def tierUnit(tier: String, period: Long, day: String): () => DataFrame = () => {
       if (tier == "15min")
-        TimeSeriesOps.tier(pointsFromPages(dayPages(day)), seriesCols,
-          "epoch_s", "value", period)
+        tier15FromPages(dayPages(day))
       else {
         val child = if (tier == "1h") "15min" else "1h"
         val childDf = spark.read.parquet(table.dataDir(tierKey(child, day)).toString)

@@ -40,6 +40,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(keys.count(_.startsWith("index-15min/")) == 7)
   }
 
+  test("one-pass two-metric tier-0 equals the long-format tier, bitwise") {
+    val pages = spark.read.parquet(pagesPath)
+    val viaPoints = graft.rollup.TimeSeriesOps.tier(
+      Pipeline.pointsFromPages(pages), Seq("domain", "metric"),
+      "epoch_s", "value", 900)
+    val onePass = Pipeline.tier15FromPages(pages)
+    val cols = Seq("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+    assert(onePass.select(cols.map(col): _*)
+      .except(viaPoints.select(cols.map(col): _*)).isEmpty)
+    assert(onePass.count() == viaPoints.count())
+  }
+
   test("stored hourly tier equals direct aggregation from pages") {
     val points = Pipeline.pointsFromPages(spark.read.parquet(pagesPath))
     val direct = graft.rollup.TimeSeriesOps.tier(

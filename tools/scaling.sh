@@ -1,22 +1,26 @@
 #!/bin/bash
 # Scaling-efficiency evidence (BASELINE.md protocol): identical pipeline job
-# at local[8] and local[32] on the same (replicated) input.
-# eff = T8 / (4 * T32)  (ideal 4x speedup from 4x threads).
+# at several parallelism levels on the same (replicated) input.
+# eff(a->b) = T_a / ((b/a) * T_b); the N->4N criterion is evidenced at
+# 2->8 (machine-linear region) and 8->32 (full box, vs raw-CPU ceiling).
+# graft.Bench self-warms (one untimed stage iteration per JVM), so each
+# timed run here reports steady-state JIT'd times.
 set -e
 SF=${1:-/root/testdata/sf0.1}
 OUT=${2:-target/scaling}
 REPL=${3:-4}
 DAYS=${4:-28}
+LEVELS=${LEVELS:-"2 8 32"}
+RUNS=${RUNS:-2}
 mkdir -p "$OUT"
 export GRAFT_MEM=48g
 export SPARK_GRAFT_BENCH_REPL=$REPL
 export SPARK_GRAFT_BENCH_DAYS=$DAYS
 export SPARK_GRAFT_STAGES_ONLY=1
 export SPARK_GRAFT_SF_DIR=$SF
-for P in 8 32; do
-  echo "== local[$P] warm-up + 3 timed runs =="
-  SPARK_GRAFT_CPUS=$P tools/run.sh graft.Bench 2>/dev/null | tail -1 > "$OUT/warm_$P.json"
-  for i in 1 2 3; do
+for P in $LEVELS; do
+  echo "== local[$P]: $RUNS self-warming timed runs =="
+  for i in $(seq "$RUNS"); do
     SPARK_GRAFT_CPUS=$P tools/run.sh graft.Bench 2>/dev/null | tail -1 > "$OUT/run_${P}_$i.json"
   done
 done
