@@ -18,8 +18,10 @@ import graft.chunk.ChunkWriter
   *     full materialization (noop write), after a JVM/session warm-up so
   *     the first query doesn't absorb session start-up.
   *
-  * Scaling protocol (BASELINE.md): run this main at SPARK_GRAFT_CPUS=8 and
-  * =32 on the same SF via tools/scaling.sh; efficiency = T32/(4*T8).
+  * Scaling protocol (BASELINE.md): tools/scaling.sh runs this main at
+  * SPARK_GRAFT_CPUS in {2, 8, 32} on the same input;
+  * eff(a->b) = T_a / ((b/a) * T_b), graded against the machine's raw-CPU
+  * ceiling (tools/cpu_ceiling.py).
   */
 object Bench {
 
@@ -44,9 +46,12 @@ object Bench {
     // fixed overhead (needed for meaningful scaling-efficiency numbers)
     val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "1").toInt
     val days = sys.env.getOrElse("SPARK_GRAFT_BENCH_DAYS", "7").toInt
+    // domain cardinality: default 97 (oracle-parity); scaling runs use a
+    // larger prime so series count grows with data volume like a real crawl
+    val domains = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOMAINS", "97").toInt
     val stagesOnly = sys.env.contains("SPARK_GRAFT_STAGES_ONLY")
     val sfName = sfDir.replaceAll(".*/", "")
-    val benchRoot = s"/root/repo/target/bench/${sfName}_r${repl}_d$days"
+    val benchRoot = s"/root/repo/target/bench/${sfName}_r${repl}_d${days}_m$domains"
     val pagesPath = s"$benchRoot/pages"
 
     // ---- warm-up: session + codegen + fixture file listing --------------
@@ -57,7 +62,7 @@ object Bench {
     // the fixture, shared by every run at this SF) -----------------------
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesPath))) {
       Pages.writePartitioned(
-        Pages.synthesize(spark, sfDir, repl, days)
+        Pages.synthesize(spark, sfDir, repl, days, domains)
           .select("url", "warc_ts", "html", "text", "lang"),
         pagesPath, buckets = 16)
     }
@@ -83,7 +88,10 @@ object Bench {
     val chunksPath = s"$benchRoot/chunks"
     var (nPoints, n15, n1h, n1d) = (0L, 0L, 0L, 0L)
 
-    val iters = if (sys.env.contains("SPARK_GRAFT_NO_WARM")) 1 else 2
+    // 2 warm iterations: C2 compilation of the generated code needs more
+    // than one pass to reach steady state at high thread counts (measured:
+    // iter1 27s, iter2 6.7s, iter3+ 3.2s for tier-0 at local[32])
+    val iters = if (sys.env.contains("SPARK_GRAFT_NO_WARM")) 1 else 3
     for (_ <- 1 to iters) {
       nPoints = timed("stage_points_extract") {
         Pipeline.pointsFromPages(pages).count()
@@ -112,7 +120,7 @@ object Bench {
               .select(col("domain"), col("bucket_ts"), col("mean_v")),
             Seq("domain"), "bucket_ts", 900),
           Seq("domain"), "bucket_ts", "mean_v", 8,
-          concat(col("domain"), lit("_interp"))))
+          concat(col("domain"), lit("_interp")), denseGridPeriod = Some(900L)))
       }
       timed("stage_gorilla_encode") {
         ChunkWriter.build(

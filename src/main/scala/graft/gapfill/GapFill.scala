@@ -33,13 +33,19 @@ object GapFill {
       epochCol: String,
       periodSec: Long
   ): DataFrame = {
-    val spans = df.groupBy(seriesCols.map(col): _*)
+    // One explicit exchange, reused three times: HashPartitioning(series)
+    // satisfies the span-agg's, the join's (ClusteredDistribution over
+    // series+epoch), and every downstream gap-fill window's distribution,
+    // so spans, grid (Generate preserves partitioning), join and windows
+    // all run shuffle-free on top of this single repartition.
+    val parted = df.repartition(seriesCols.map(col): _*)
+    val spans = parted.groupBy(seriesCols.map(col): _*)
       .agg(min(col(epochCol)).as("_t0"), max(col(epochCol)).as("_t1"))
     val grid = spans.select(
       (seriesCols.map(col) :+
         explode(sequence(col("_t0"), col("_t1"), lit(periodSec)))
           .as(epochCol)): _*)
-    grid.join(df, seriesCols :+ epochCol, "left_outer")
+    grid.join(parted, seriesCols :+ epochCol, "left_outer")
   }
 
   private def w(seriesCols: Seq[String], epochCol: String) =
@@ -106,20 +112,43 @@ object GapFill {
       epochCol: String,
       valueCol: String,
       limit: Int,
-      markerExpr: Column
-  ): DataFrame = {
-    val ws = w(seriesCols, epochCol)
-    val prevW = ws.rowsBetween(Window.unboundedPreceding, 0)
-    val ann = annotateRuns(df, seriesCols, epochCol, valueCol)
-    val filledVal = last(col(valueCol), ignoreNulls = true).over(prevW)
-    ann
-      .withColumn("_do_fill",
-        col(valueCol).isNull && col("_run_pos") <= limit && filledVal.isNotNull)
-      .withColumn("value_filled",
-        when(col("_do_fill"), filledVal).otherwise(col(valueCol)))
-      .withColumn("markers",
-        when(col("_do_fill"), array(markerExpr)).otherwise(array().cast("array<string>")))
-      .drop("_run_id", "_run_pos", "_gap_len", "_do_fill")
+      markerExpr: Column,
+      denseGridPeriod: Option[Long] = None
+  ): DataFrame = denseGridPeriod match {
+    case Some(p) =>
+      // Dense-grid fast path: on a densified grid (one row per tick) the
+      // null-run position is pure time arithmetic, (t - tPrev)/p, so the
+      // whole fill is ONE ascending window pass — one partition-local sort
+      // instead of annotateRuns' ASC+DESC cascade. Row-for-row identical
+      // to the generic path on densified input (GapFillSpec).
+      val prevW = w(seriesCols, epochCol).rowsBetween(Window.unboundedPreceding, 0)
+      val prevV = last(col(valueCol), ignoreNulls = true).over(prevW)
+      val prevT = last(when(col(valueCol).isNotNull, col(epochCol)),
+        ignoreNulls = true).over(prevW)
+      df
+        .withColumn("_pv", prevV)
+        .withColumn("_pt", prevT)
+        .withColumn("_do_fill",
+          col(valueCol).isNull && col("_pv").isNotNull &&
+            (col(epochCol) - col("_pt")) / p <= limit)
+        .withColumn("value_filled",
+          when(col("_do_fill"), col("_pv")).otherwise(col(valueCol)))
+        .withColumn("markers",
+          when(col("_do_fill"), array(markerExpr)).otherwise(array().cast("array<string>")))
+        .drop("_pv", "_pt", "_do_fill")
+    case None =>
+      val ws = w(seriesCols, epochCol)
+      val prevW = ws.rowsBetween(Window.unboundedPreceding, 0)
+      val ann = annotateRuns(df, seriesCols, epochCol, valueCol)
+      val filledVal = last(col(valueCol), ignoreNulls = true).over(prevW)
+      ann
+        .withColumn("_do_fill",
+          col(valueCol).isNull && col("_run_pos") <= limit && filledVal.isNotNull)
+        .withColumn("value_filled",
+          when(col("_do_fill"), filledVal).otherwise(col(valueCol)))
+        .withColumn("markers",
+          when(col("_do_fill"), array(markerExpr)).otherwise(array().cast("array<string>")))
+        .drop("_run_id", "_run_pos", "_gap_len", "_do_fill")
   }
 
   /** Linear interpolation of short gaps (reference
@@ -135,29 +164,61 @@ object GapFill {
       epochCol: String,
       valueCol: String,
       maxGapPeriods: Int,
-      markerExpr: Column
-  ): DataFrame = {
-    val ws = w(seriesCols, epochCol)
-    val prevW = ws.rowsBetween(Window.unboundedPreceding, 0)
-    val nextW = wDesc(seriesCols, epochCol).rowsBetween(Window.unboundedPreceding, 0)
-    val ann = annotateRuns(df, seriesCols, epochCol, valueCol)
-    val prevV = last(col(valueCol), ignoreNulls = true).over(prevW)
-    val prevT = last(when(col(valueCol).isNotNull, col(epochCol)), ignoreNulls = true).over(prevW)
-    val nextV = last(col(valueCol), ignoreNulls = true).over(nextW)
-    val nextT = last(when(col(valueCol).isNotNull, col(epochCol)), ignoreNulls = true).over(nextW)
-    val doFill = col(valueCol).isNull &&
-      col("_gap_len") <= maxGapPeriods &&
-      prevV.isNotNull && nextV.isNotNull
-    val interp = prevV +
-      (nextV - prevV) * (col(epochCol) - prevT).cast("double") /
-        (nextT - prevT).cast("double")
-    ann
-      .withColumn("_do_fill", doFill)
-      .withColumn("value_filled",
-        when(col("_do_fill"), interp).otherwise(col(valueCol)))
-      .withColumn("markers",
-        when(col("_do_fill"), array(markerExpr)).otherwise(array().cast("array<string>")))
-      .drop("_run_id", "_run_pos", "_gap_len", "_do_fill")
+      markerExpr: Column,
+      denseGridPeriod: Option[Long] = None
+  ): DataFrame = denseGridPeriod match {
+    case Some(p) =>
+      // Dense-grid fast path: gap length between the two neighbors is
+      // (tNext - tPrev)/p - 1, so the fill needs exactly TWO window
+      // passes — one ascending (prev obs), one descending (next obs as a
+      // running frame, O(n)) — i.e. two partition-local sorts instead of
+      // the generic path's six. Row-for-row identical to the generic path
+      // on densified input (GapFillSpec asserts it).
+      val prevW = w(seriesCols, epochCol).rowsBetween(Window.unboundedPreceding, 0)
+      val nextW = wDesc(seriesCols, epochCol).rowsBetween(Window.unboundedPreceding, 0)
+      val asc = df
+        .withColumn("_pv", last(col(valueCol), ignoreNulls = true).over(prevW))
+        .withColumn("_pt", last(when(col(valueCol).isNotNull, col(epochCol)),
+          ignoreNulls = true).over(prevW))
+      val both = asc
+        .withColumn("_nv", last(col(valueCol), ignoreNulls = true).over(nextW))
+        .withColumn("_nt", last(when(col(valueCol).isNotNull, col(epochCol)),
+          ignoreNulls = true).over(nextW))
+      val doFill = col(valueCol).isNull &&
+        col("_pv").isNotNull && col("_nv").isNotNull &&
+        (col("_nt") - col("_pt")) / p - 1 <= maxGapPeriods
+      val interp = col("_pv") +
+        (col("_nv") - col("_pv")) * (col(epochCol) - col("_pt")).cast("double") /
+          (col("_nt") - col("_pt")).cast("double")
+      both
+        .withColumn("_do_fill", doFill)
+        .withColumn("value_filled",
+          when(col("_do_fill"), interp).otherwise(col(valueCol)))
+        .withColumn("markers",
+          when(col("_do_fill"), array(markerExpr)).otherwise(array().cast("array<string>")))
+        .drop("_pv", "_pt", "_nv", "_nt", "_do_fill")
+    case None =>
+      val ws = w(seriesCols, epochCol)
+      val prevW = ws.rowsBetween(Window.unboundedPreceding, 0)
+      val nextW = wDesc(seriesCols, epochCol).rowsBetween(Window.unboundedPreceding, 0)
+      val ann = annotateRuns(df, seriesCols, epochCol, valueCol)
+      val prevV = last(col(valueCol), ignoreNulls = true).over(prevW)
+      val prevT = last(when(col(valueCol).isNotNull, col(epochCol)), ignoreNulls = true).over(prevW)
+      val nextV = last(col(valueCol), ignoreNulls = true).over(nextW)
+      val nextT = last(when(col(valueCol).isNotNull, col(epochCol)), ignoreNulls = true).over(nextW)
+      val doFill = col(valueCol).isNull &&
+        col("_gap_len") <= maxGapPeriods &&
+        prevV.isNotNull && nextV.isNotNull
+      val interp = prevV +
+        (nextV - prevV) * (col(epochCol) - prevT).cast("double") /
+          (nextT - prevT).cast("double")
+      ann
+        .withColumn("_do_fill", doFill)
+        .withColumn("value_filled",
+          when(col("_do_fill"), interp).otherwise(col(valueCol)))
+        .withColumn("markers",
+          when(col("_do_fill"), array(markerExpr)).otherwise(array().cast("array<string>")))
+        .drop("_run_id", "_run_pos", "_gap_len", "_do_fill")
   }
 
   /** NaN-run report (reference `find_nan` — A5): one row per null run per

@@ -39,8 +39,12 @@ object Pages {
     * `replicate = 1`; higher values repeat the corpus with shifted doc_ids
     * to scale BENCHMARK input — the oracle contract only covers 1).
     */
+  /** `domainMod` widens domain cardinality for scale benchmarks (default 97
+    * keeps oracle-CTE parity — every oracle query uses the default). The
+    * zipf head stays: doc_id % 5 < 2 always lands on d0 (~40% of traffic).
+    */
   def synthesize(spark: SparkSession, sfDir: String, replicate: Int = 1,
-      days: Int = 7): DataFrame = {
+      days: Int = 7, domainMod: Int = 97): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val docs =
       if (replicate <= 1) base
@@ -54,7 +58,7 @@ object Pages {
       .where((col("p") + col("doc_id") * 7) % 53 >= col("doc_id") % 13)
       .select(
         concat(lit("https://d"),
-          when(col("doc_id") % 5 < 2, lit(0)).otherwise(col("doc_id") % 97)
+          when(col("doc_id") % 5 < 2, lit(0)).otherwise(col("doc_id") % domainMod)
             .cast("long").cast("string"),
           lit(".example/p/"), col("doc_id").cast("string")).as("url"),
         timestamp_seconds(lit(T0Epoch) + col("p") * PeriodSec).as("warc_ts"),

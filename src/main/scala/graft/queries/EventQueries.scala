@@ -105,7 +105,8 @@ object EventQueries {
     "q_ffill" -> ((s, dir) => {
       val g = hourlyGrid(s, dir)
       GapFill.ffill(g, Seq("event_type"), "bucket_ts", "sum_cents",
-          limit = 2, markerExpr = concat(col("event_type"), lit("_ffill")))
+          limit = 2, markerExpr = concat(col("event_type"), lit("_ffill")),
+          denseGridPeriod = Some(3600L))
         .select(col("event_type"), col("bucket_ts"),
           col("sum_cents").as("value"), col("value_filled"),
           TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
@@ -115,7 +116,8 @@ object EventQueries {
       val g = hourlyGrid(s, dir)
       GapFill.interpolate(g, Seq("event_type"), "bucket_ts", "sum_cents",
           maxGapPeriods = 4,
-          markerExpr = concat(col("event_type"), lit("_interpolated")))
+          markerExpr = concat(col("event_type"), lit("_interpolated")),
+          denseGridPeriod = Some(3600L))
         .select(col("event_type"), col("bucket_ts"),
           col("sum_cents").as("value"),
           col("value_filled").cast("double").as("value_filled"),
@@ -130,7 +132,8 @@ object EventQueries {
       val g = hourlyGrid(s, dir)
       val interp = GapFill.interpolate(g, Seq("event_type"), "bucket_ts",
         "sum_cents", maxGapPeriods = 4,
-        markerExpr = concat(col("event_type"), lit("_interpolated")))
+        markerExpr = concat(col("event_type"), lit("_interpolated")),
+        denseGridPeriod = Some(3600L))
       interp
         .groupBy(col("event_type"),
           TimeSeriesOps.bucketStart(col("bucket_ts"), 86400).as("bucket_ts"))

@@ -64,7 +64,8 @@ object PageQueries {
       val g = GapFill.densify(t, Seq("domain"), "bucket_ts", 900)
       GapFill.interpolate(g, Seq("domain"), "bucket_ts", "mean_v",
           maxGapPeriods = 8,
-          markerExpr = concat(col("domain"), lit("_score_interpolated")))
+          markerExpr = concat(col("domain"), lit("_score_interpolated")),
+          denseGridPeriod = Some(900L))
         .select(col("domain"), col("bucket_ts"),
           col("mean_v").as("value"), col("value_filled"),
           TimeSeriesOps.renderMarkers(col("markers")).as("marker"))

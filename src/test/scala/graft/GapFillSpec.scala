@@ -96,6 +96,25 @@ class GapFillSpec extends AnyFunSuite {
       ("a", 2700L, Some(2.0)), ("b", 900L, Some(3.0))))
   }
 
+  test("dense-grid fast path == generic path for interpolate and ffill") {
+    // a gnarly frame: head gap, interior gaps of several lengths, tail gap
+    val df = frame(Seq(None, None, Some(4.0), None, Some(6.0), None, None,
+      None, Some(2.0), None, None, None, None, None, Some(1.0), None))
+    val cols = Seq("series", "ts", "value_filled", "markers").map(col)
+    for (limit <- Seq(1, 2, 3, 5)) {
+      val gi = GapFill.interpolate(df, Seq("series"), "ts", "v", limit, lit("m"))
+      val di = GapFill.interpolate(df, Seq("series"), "ts", "v", limit, lit("m"),
+        denseGridPeriod = Some(900L))
+      assert(di.select(cols: _*).except(gi.select(cols: _*)).isEmpty &&
+        di.count() == gi.count(), s"interpolate limit=$limit diverged")
+      val gf = GapFill.ffill(df, Seq("series"), "ts", "v", limit, lit("m"))
+      val dfst = GapFill.ffill(df, Seq("series"), "ts", "v", limit, lit("m"),
+        denseGridPeriod = Some(900L))
+      assert(dfst.select(cols: _*).except(gf.select(cols: _*)).isEmpty &&
+        dfst.count() == gf.count(), s"ffill limit=$limit diverged")
+    }
+  }
+
   test("interpolation is idempotent (filling a filled frame changes nothing)") {
     val df = frame(Seq(Some(1.0), None, Some(3.0), None, None, None, None, Some(8.0)))
     val once = GapFill.interpolate(df, Seq("series"), "ts", "v",

@@ -13,9 +13,12 @@ DAYS=${4:-28}
 LEVELS=${LEVELS:-"2 8 32"}
 RUNS=${RUNS:-2}
 mkdir -p "$OUT"
-export GRAFT_MEM=48g
+export GRAFT_MEM=16g  # 48g heap caused erratic multi-second GC pauses at local[32]
 export SPARK_GRAFT_BENCH_REPL=$REPL
 export SPARK_GRAFT_BENCH_DAYS=$DAYS
+# web-scale series cardinality: series count grows with volume (real crawls
+# have millions of hosts; 97 domains would starve downstream tiers of work)
+export SPARK_GRAFT_BENCH_DOMAINS=${DOMAINS:-9973}
 export SPARK_GRAFT_STAGES_ONLY=1
 export SPARK_GRAFT_SF_DIR=$SF
 for P in $LEVELS; do
