@@ -38,6 +38,7 @@ object Main {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -90,6 +90,16 @@ object ChunkWriter {
       .toDF("series_flat", "ts", "value")
   }
 
+  /** SQL-surface decode via the `gorilla_explode` Generator (registered by
+    * `graft.plans.GraftExtensions`). Identical rows to `decode`, but the
+    * Generate node lets the `PruneChunksByTime` optimizer rule rewrite
+    * time predicates on the decoded `ts` into chunk-level (t0, t_max)
+    * predicates pushed into the scan — index-aware reads with no manual
+    * `pruneByTime` call.
+    */
+  def decodeSql(chunks: DataFrame): DataFrame =
+    chunks.selectExpr("series_flat", "gorilla_explode(n, blob, crc)")
+
   /** Time-range chunk pruning: chunks whose [t0, t_max] intersects the
     * query range. On Parquet this predicate also prunes at row-group level
     * via column statistics — the explicit columns make the index usable by

@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine Catalyst extensions, registered on every engine session
+  * (`SparkSession.builder().withExtensions(new GraftExtensions)`, or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` on a
+  * cluster):
+  *
+  *  - `gorilla_explode(n, blob, crc)` SQL generator (chunk -> points);
+  *  - `PruneChunksByTime` optimizer rule (time predicates on decoded ts
+  *    become chunk-level predicates, pushed into the scan).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("gorilla_explode"),
+      new ExpressionInfo(classOf[GorillaExplode].getName, "gorilla_explode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GorillaExplode(exprs)))
+    // post-hoc resolution (not optimizer): the rewrite needs the chunk
+    // table's t0/t_max in the Generate child's output, which the
+    // optimizer's ColumnPruning removes before extended optimizer rules
+    // get a look. After analysis the full chunk schema is still visible;
+    // the injected Filter then keeps exactly the columns it references
+    // alive through pruning and rides standard pushdown into the scan.
+    ext.injectPostHocResolutionRule(_ => PruneChunksByTime)
+  }
+}

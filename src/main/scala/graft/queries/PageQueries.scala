@@ -95,6 +95,22 @@ object PageQueries {
         .select(col("series_flat"), col("ts").as("bucket_ts"), col("value"))
     }),
 
+    // same result as q_chunk_prune but with NO manual pruneByTime call:
+    // decode via the gorilla_explode Generator + a plain ts filter; the
+    // PruneChunksByTime optimizer rule derives the chunk-level (t0, t_max)
+    // predicates and pushdown carries them into the scan
+    "q_chunk_prune_auto" -> ((s, dir) => {
+      val from = Pages.T0Epoch + 2 * 86400L
+      val until = Pages.T0Epoch + 3 * 86400L
+      val t = tier15(s, dir).filter(col("metric") === "score")
+        .select(concat(col("domain"), lit("_score")).as("series_flat"),
+          col("bucket_ts").as("ts"), col("mean_v").as("value"))
+      val chunks = ChunkWriter.build(t, "15min", maxPoints = 96)
+      ChunkWriter.decodeSql(chunks.toDF())
+        .filter(col("ts") >= from && col("ts") < until)
+        .select(col("series_flat"), col("ts").as("bucket_ts"), col("value"))
+    }),
+
     // per-row invariant: text bytes survive a partitioned write+read
     "q_text_invariant" -> ((s, dir) => {
       val pages = Pages.synthesize(s, dir)
@@ -152,6 +168,12 @@ object PageQueries {
          |FROM ($T15) t WHERE metric = 'score'""".stripMargin,
 
     "q_chunk_prune" ->
+      s"""SELECT domain || '_score' AS series_flat, bucket_ts, mean_v AS value
+         |FROM ($T15) t WHERE metric = 'score'
+         |  AND bucket_ts >= ${Pages.T0Epoch + 2 * 86400L}
+         |  AND bucket_ts < ${Pages.T0Epoch + 3 * 86400L}""".stripMargin,
+
+    "q_chunk_prune_auto" ->
       s"""SELECT domain || '_score' AS series_flat, bucket_ts, mean_v AS value
          |FROM ($T15) t WHERE metric = 'score'
          |  AND bucket_ts >= ${Pages.T0Epoch + 2 * 86400L}
