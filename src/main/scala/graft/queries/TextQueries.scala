@@ -104,7 +104,13 @@ object TextQueries {
 
     // Structured Streaming hourly rollup == batch hourly tier
     "q_stream_1h" -> ((s, dir) =>
-      StreamingRollup.hourlyRollup(s, dir, "graft_stream_verify"))
+      StreamingRollup.hourlyRollup(s, dir, "graft_stream_verify")),
+
+    // stateful streaming upsert (flatMapGroupsWithState): latest event
+    // per user, state carried across micro-batches
+    "q_stream_latest" -> ((s, dir) =>
+      StreamingRollup.latestEventPerUser(s, dir, "events.parquet",
+        "graft_stream_latest_verify"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -170,6 +176,15 @@ object TextQueries {
     "q_stream_1h" ->
       s"""SELECT event_type, (epoch_us(ts)//1000000)//3600*3600 AS bucket_ts,
          |  count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
-         |FROM events GROUP BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_latest" ->
+      s"""SELECT user_id, event_id, epoch_s, event_type, cents FROM (
+         |  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+         |    epoch_us(ts)//1000000 AS epoch_s, event_type,
+         |    CAST(round(value*100) AS BIGINT) AS cents,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+         |  FROM events) r
+         |WHERE rk = 1""".stripMargin
   )
 }
