@@ -91,7 +91,15 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tier_15min" -> ((s, dir) => tierAt(s, dir, 900)),
+    // OPSD's third native resolution (data_sets carries 15/30/60min)
+    "q_tier_30min" -> ((s, dir) => chain(tierAt(s, dir, 900).drop("mean_v"), 1800)),
     "q_tier_1h" -> ((s, dir) => chain(tierAt(s, dir, 900).drop("mean_v"), 3600)),
+    // distinct aggregation over the series dimension (exact; the at-scale
+    // variant is approx_count_distinct = HLL++, not oracle-matchable)
+    "q_distinct_users" -> ((s, dir) =>
+      base(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
     "q_tier_1d" -> ((s, dir) =>
       chain(chain(tierAt(s, dir, 900).drop("mean_v"), 3600).drop("mean_v"), 86400)),
 
@@ -228,9 +236,15 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_tier_15min" -> meanSel(T15),
+    "q_tier_30min" -> meanSel(
+      s"SELECT event_type, bucket_ts//1800*1800 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
+        s"CAST(sum(sum_cents) AS BIGINT) AS sum_cents FROM ($T15) t15 GROUP BY 1, 2"),
     "q_tier_1h" -> meanSel(T1H),
     "q_tier_1d" -> meanSel(T1D),
     "q_salted_1h" -> meanSel(T1H),
+    "q_distinct_users" ->
+      (s"SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        s"count(*) AS n_events FROM $EV e GROUP BY 1"),
 
     "q_ffill" -> (GRID_ANN +
       """SELECT event_type, bucket_ts, sum_cents AS value,
