@@ -45,11 +45,11 @@ object Bench {
 
     // input scale: replicate the doc corpus to make stage work dominate
     // fixed overhead (needed for meaningful scaling-efficiency numbers)
-    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "1").toInt
-    val days = sys.env.getOrElse("SPARK_GRAFT_BENCH_DAYS", "7").toInt
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "4").toInt
+    val days = sys.env.getOrElse("SPARK_GRAFT_BENCH_DAYS", "14").toInt
     // domain cardinality: default 97 (oracle-parity); scaling runs use a
     // larger prime so series count grows with data volume like a real crawl
-    val domains = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOMAINS", "97").toInt
+    val domains = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOMAINS", "9973").toInt
     val stagesOnly = sys.env.contains("SPARK_GRAFT_STAGES_ONLY")
     val sfName = sfDir.replaceAll(".*/", "")
     val benchRoot = s"/root/repo/target/bench/${sfName}_r${repl}_d${days}_m$domains"
