@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ingest.Pages
+import graft.ingest.{CsvSource, Pages}
 import graft.rollup.TimeSeriesOps
 import graft.gapfill.GapFill
 import graft.chunk.ChunkWriter
@@ -111,6 +111,26 @@ object PageQueries {
         .select(col("series_flat"), col("ts").as("bucket_ts"), col("value"))
     }),
 
+    // S2 CSV source, oracle-checked end-to-end: Spark parses a
+    // deterministic EU-format CSV (decimal comma, dot thousands, 2 header
+    // rows, n/a cells) via CsvSource; DuckDB reads the SAME file with its
+    // own CSV reader and mirrors the normalization
+    "q_csv_source" -> ((s, dir) => {
+      val p = java.nio.file.Paths.get("/root/repo/target/verify_tmp/eu_ts.csv")
+      java.nio.file.Files.createDirectories(p.getParent)
+      val rows = (0 until 96).map { i =>
+        val ts = f"2024-01-01T${i / 4}%02d:${(i % 4) * 15}%02d:00Z"
+        val load = f"1.${i}%03d,${25 * (i % 4)}%02d" // 1.000,00 .. 1.095,75
+        val wind = if (i % 7 == 5) "n/a" else s"$i,125"
+        s"$ts;$load;$wind"
+      }
+      java.nio.file.Files.writeString(p,
+        "timestamp;DE_load;DE_wind\n;actual;actual\n" + rows.mkString("\n") + "\n")
+      CsvSource.readEuTimeSeries(s, p.toString, headerRows = 2)
+        .select(unix_timestamp(col("ts")).as("epoch_s"),
+          col("DE_load_actual"), col("DE_wind_actual"))
+    }),
+
     // per-row invariant: text bytes survive a partitioned write+read
     "q_text_invariant" -> ((s, dir) => {
       val pages = Pages.synthesize(s, dir)
@@ -181,6 +201,13 @@ object PageQueries {
 
     "q_text_invariant" ->
       s"SELECT DISTINCT url, sha256(text) AS h FROM $P p",
+
+    "q_csv_source" ->
+      """SELECT epoch_us(CAST(c0 AS TIMESTAMPTZ))//1000000 AS epoch_s,
+        |  TRY_CAST(replace(replace(trim(c1), '.', ''), ',', '.') AS DOUBLE) AS DE_load_actual,
+        |  TRY_CAST(replace(replace(trim(c2), '.', ''), ',', '.') AS DOUBLE) AS DE_wind_actual
+        |FROM read_csv('/root/repo/target/verify_tmp/eu_ts.csv', delim=';', header=false, skip=2,
+        |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR'})""".stripMargin,
 
     "q_topk_domains" ->
       s"""SELECT domain, visits, rk FROM (
