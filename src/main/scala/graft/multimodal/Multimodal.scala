@@ -55,4 +55,55 @@ object Multimodal {
         it.map { case (url, bytes) => decodeStub(url, bytes) }
       }
   }
+
+  final case class ResizedMedia(url: String, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** STUB resize to a bounding box: real builds swap the body for a codec
+    * scale call; the stub deterministically truncates/pads the payload to
+    * the area ratio so output byte-lengths are oracle-reproducible. The
+    * Spark shape is what matters: binary-in/binary-out, partition-local,
+    * no driver round-trip.
+    */
+  def resize(media: DataFrame, urlCol: String, binCol: String,
+      maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, bytes) =>
+        val m = decodeStub(url, bytes)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+        val w = math.max(1, (m.width * scale).toInt)
+        val h = math.max(1, (m.height * scale).toInt)
+        val outLen = math.max(1, (bytes.length * scale * scale).toInt)
+        ResizedMedia(url, w, h, java.util.Arrays.copyOf(bytes, outLen))
+      })
+  }
+
+  final case class Frame(url: String, frame_idx: Int, offset: Long,
+      payload: Array[Byte])
+
+  /** STUB frame sampling for video-shaped payloads: emits every
+    * `stride`-th fixed-size slice of the blob as a "frame" (flatMap —
+    * 1:N row fan-out, the real shape of video decode). A real build
+    * replaces slicing with an ffmpeg-style keyframe iterator; partition
+    * locality, output schema, and the bounded `maxFrames` fan-out are the
+    * scale-relevant parts.
+    */
+  def sampleFrames(media: DataFrame, urlCol: String, binCol: String,
+      frameBytes: Int = 256, stride: Int = 4, maxFrames: Int = 8): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
+      .flatMap { case (url, bytes) =>
+        val nSlices = bytes.length / frameBytes
+        (0 until nSlices by stride).take(maxFrames).zipWithIndex.map {
+          case (slice, idx) =>
+            val off = slice.toLong * frameBytes
+            Frame(url, idx, off,
+              java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + frameBytes))
+        }
+      }
+  }
 }

@@ -121,6 +121,7 @@ object TextQueries {
     "q_token_stats" ->
       s"""SELECT doc_id, CAST(len($TOKS) AS INT) AS n_tokens,
          |  CAST(len(list_distinct($TOKS)) AS INT) AS n_uniq,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+')) AS INT) AS n_bpeish,
          |  CAST(length(text) AS INT) AS n_chars,
          |  CAST(len(list_distinct($TOKS)) AS DOUBLE) / len($TOKS) AS ttr
          |FROM documents""".stripMargin,

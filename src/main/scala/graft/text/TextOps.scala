@@ -218,12 +218,21 @@ object TextOps {
     withScores.withColumn("predicted", predicted)
   }
 
+  /** BPE-style pre-tokenizer regex (GPT-2-family shape: letter runs,
+    * short digit runs, punctuation runs) — constructs chosen to behave
+    * identically under java.util.regex (Spark) and RE2 (DuckDB oracle):
+    * no lookaround, no unicode classes.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     docs.select(
       col(idCol),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_uniq"),
+      size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
+        .as("n_bpeish"),
       length(col(textCol)).as("n_chars"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
   }
