@@ -115,6 +115,31 @@ class GapFillSpec extends AnyFunSuite {
     }
   }
 
+  test("dense-path == generic path on 40 seeded random frames (property)") {
+    val rnd = new java.util.Random(42)
+    val cols = Seq("series", "ts", "value_filled", "markers").map(col)
+    (1 to 40).foreach { trial =>
+      val n = 3 + rnd.nextInt(20)
+      val vals = Seq.fill(n)(
+        if (rnd.nextDouble() < 0.45) None
+        else Some((rnd.nextInt(4096) - 2048) / 256.0))
+      val limit = 1 + rnd.nextInt(4)
+      val df = frame(vals)
+      val gi = GapFill.interpolate(df, Seq("series"), "ts", "v", limit, lit("m"))
+      val di = GapFill.interpolate(df, Seq("series"), "ts", "v", limit, lit("m"),
+        denseGridPeriod = Some(900L))
+      assert(di.select(cols: _*).except(gi.select(cols: _*)).isEmpty &&
+        di.count() == gi.count(),
+        s"interpolate diverged: trial=$trial vals=$vals limit=$limit")
+      val gf = GapFill.ffill(df, Seq("series"), "ts", "v", limit, lit("m"))
+      val dfst = GapFill.ffill(df, Seq("series"), "ts", "v", limit, lit("m"),
+        denseGridPeriod = Some(900L))
+      assert(dfst.select(cols: _*).except(gf.select(cols: _*)).isEmpty &&
+        dfst.count() == gf.count(),
+        s"ffill diverged: trial=$trial vals=$vals limit=$limit")
+    }
+  }
+
   test("interpolation is idempotent (filling a filled frame changes nothing)") {
     val df = frame(Seq(Some(1.0), None, Some(3.0), None, None, None, None, Some(8.0)))
     val once = GapFill.interpolate(df, Seq("series"), "ts", "v",
