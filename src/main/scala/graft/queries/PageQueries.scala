@@ -111,6 +111,32 @@ object PageQueries {
         .select(col("series_flat"), col("ts").as("bucket_ts"), col("value"))
     }),
 
+    // the full production READ path in one query: chunk store ->
+    // gorilla_explode decode with automatic time-range chunk pruning
+    // (PruneChunksByTime) -> grid densify -> linear interpolation with
+    // markers — "give me gap-filled series for days 2-4 from the
+    // compressed tier"
+    "q_window_read" -> ((s, dir) => {
+      val from = Pages.T0Epoch + 1 * 86400L
+      val until = Pages.T0Epoch + 4 * 86400L
+      val t = tier15(s, dir).filter(col("metric") === "score")
+        .select(concat(col("domain"), lit("_score")).as("series_flat"),
+          col("bucket_ts").as("ts"), col("mean_v").as("value"))
+      val chunks = ChunkWriter.build(t, "15min", maxPoints = 96)
+      val pts = ChunkWriter.decodeSql(chunks.toDF())
+        .filter(col("ts") >= from && col("ts") < until) // auto chunk prune
+        .select(col("series_flat"), col("ts").as("bucket_ts"),
+          col("value").as("mean_v"))
+      GapFill.interpolate(
+          GapFill.densify(pts, Seq("series_flat"), "bucket_ts", 900),
+          Seq("series_flat"), "bucket_ts", "mean_v", 8,
+          concat(col("series_flat"), lit("_interpolated")),
+          denseGridPeriod = Some(900L))
+        .select(col("series_flat"), col("bucket_ts"),
+          col("mean_v").as("value"), col("value_filled"),
+          TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
+    }),
+
     // S2 CSV source, oracle-checked end-to-end: Spark parses a
     // deterministic EU-format CSV (decimal comma, dot thousands, 2 header
     // rows, n/a cells) via CsvSource; DuckDB reads the SAME file with its
@@ -186,6 +212,32 @@ object PageQueries {
     "q_gorilla_roundtrip" ->
       s"""SELECT domain || '_score' AS series_flat, bucket_ts, mean_v AS value
          |FROM ($T15) t WHERE metric = 'score'""".stripMargin,
+
+    "q_window_read" ->
+      s"""WITH t AS (SELECT domain || '_score' AS series_flat, bucket_ts, mean_v FROM ($T15) t15
+         |           WHERE metric = 'score'
+         |             AND bucket_ts >= ${Pages.T0Epoch + 1 * 86400L}
+         |             AND bucket_ts < ${Pages.T0Epoch + 4 * 86400L}),
+         |span AS (SELECT series_flat, min(bucket_ts) AS t0, max(bucket_ts) AS t1 FROM t GROUP BY 1),
+         |grid AS (SELECT series_flat, UNNEST(generate_series(t0, t1, 900)) AS bucket_ts FROM span),
+         |g AS (SELECT grid.series_flat, grid.bucket_ts, t.mean_v FROM grid LEFT JOIN t USING (series_flat, bucket_ts)),
+         |a2 AS (SELECT *,
+         |  last_value(CASE WHEN mean_v IS NOT NULL THEN mean_v END IGNORE NULLS) OVER wp AS prev_v,
+         |  last_value(CASE WHEN mean_v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wp AS prev_t,
+         |  first_value(CASE WHEN mean_v IS NOT NULL THEN mean_v END IGNORE NULLS) OVER wn AS next_v,
+         |  first_value(CASE WHEN mean_v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wn AS next_t
+         |  FROM g
+         |  WINDOW wp AS (PARTITION BY series_flat ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (PARTITION BY series_flat ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT series_flat, bucket_ts, mean_v AS value,
+         |  CASE WHEN mean_v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+         |            AND (next_t - prev_t) / 900 - 1 <= 8
+         |       THEN prev_v + (next_v - prev_v) * CAST(bucket_ts - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)
+         |       ELSE mean_v END AS value_filled,
+         |  CASE WHEN mean_v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+         |            AND (next_t - prev_t) / 900 - 1 <= 8
+         |       THEN series_flat || '_interpolated' ELSE '' END AS marker
+         |FROM a2""".stripMargin,
 
     "q_chunk_prune" ->
       s"""SELECT domain || '_score' AS series_flat, bucket_ts, mean_v AS value
