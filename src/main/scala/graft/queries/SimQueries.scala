@@ -28,8 +28,22 @@ object SimQueries {
       Ann.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", queryId = 0L, k = 10,
-        centroidEvery = 25L, nProbe = 4)
+        nCentroids = 20, nProbe = 4)
         .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
+
+    // same probe through the MATERIALIZED index (corpus partitioned by
+    // cell + centroid table): write once, then scan only nProbe cell
+    // directories. Oracle: identical semantics to q_ann_ivf.
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = "/root/repo/target/verify_tmp/ivf_index"
+      Ann.writeIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 20)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Ann.ivfTopKIndexed(s, path, "vec_id", "embedding", qv,
+          excludeId = 0L, k = 10, nProbe = 4)
+        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
+    }),
 
     "q_embed_neardup" -> ((s, dir) =>
       Ann.cosineNearDups(
@@ -57,6 +71,35 @@ object SimQueries {
       .unionByName(pert)
   }
 
+  /** Shared IVF oracle (direct and indexed paths compute the same result). */
+  private val IvfSql: String =
+    """WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
+      |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |cents AS (SELECT vec_id AS cell FROM (
+      |  SELECT vec_id, ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h
+      |  FROM embeddings ORDER BY h, vec_id LIMIT 20) t),
+      |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+      |vc AS (SELECT v.vec_id, c.vec_id AS cell, CAST(sum(v.qe * c.qe) AS BIGINT) AS dot
+      |       FROM ex v JOIN ex c ON v.i = c.i JOIN cents ON c.vec_id = cents.cell GROUP BY 1, 2),
+      |vcc AS (SELECT vc.vec_id, cell,
+      |          CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos
+      |        FROM vc JOIN n2 nv ON nv.vec_id = vc.vec_id JOIN n2 nc ON nc.vec_id = vc.cell),
+      |assigned AS (SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk
+      |  FROM vcc) WHERE rk = 1),
+      |probes AS (SELECT cell FROM vcc WHERE vec_id = 0 ORDER BY cos DESC, cell LIMIT 4),
+      |vq AS (SELECT v.vec_id, CAST(sum(v.qe * q.qe) AS BIGINT) AS dot
+      |       FROM ex v JOIN ex q ON v.i = q.i AND q.vec_id = 0
+      |       WHERE v.vec_id <> 0 GROUP BY 1),
+      |scored AS (SELECT vq.vec_id,
+      |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nq.n2 AS DOUBLE)) AS cos
+      |  FROM vq JOIN n2 nv ON nv.vec_id = vq.vec_id, (SELECT n2 FROM n2 WHERE vec_id = 0) nq
+      |  WHERE vq.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cell = p.cell))
+      |SELECT vec_id, cos, rk FROM (
+      |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored) r
+      |WHERE rk <= 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_brute" ->
       """WITH ex AS (SELECT vec_id, UNNEST(embedding) AS e, generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -74,34 +117,13 @@ object SimQueries {
         |  FROM scored) r
         |WHERE rk <= 10""".stripMargin,
 
-    // IVF replicated exactly: deterministic centroid sample (id % 25 == 0),
-    // nearest-centroid assignment, 4-probe, exact scoring inside probes.
-    // Division shapes mirror Ann.cosineQ (dot / sqrt(n2_left) / sqrt(n2_right))
-    // so the doubles are bitwise identical.
-    "q_ann_ivf" ->
-      """WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
-        |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
-        |vc AS (SELECT v.vec_id, c.vec_id AS cell, CAST(sum(v.qe * c.qe) AS BIGINT) AS dot
-        |       FROM ex v JOIN ex c ON v.i = c.i AND c.vec_id % 25 = 0 GROUP BY 1, 2),
-        |vcc AS (SELECT vc.vec_id, cell,
-        |          CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos
-        |        FROM vc JOIN n2 nv ON nv.vec_id = vc.vec_id JOIN n2 nc ON nc.vec_id = vc.cell),
-        |assigned AS (SELECT vec_id, cell FROM (
-        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk
-        |  FROM vcc) WHERE rk = 1),
-        |probes AS (SELECT cell FROM vcc WHERE vec_id = 0 ORDER BY cos DESC, cell LIMIT 4),
-        |vq AS (SELECT v.vec_id, CAST(sum(v.qe * q.qe) AS BIGINT) AS dot
-        |       FROM ex v JOIN ex q ON v.i = q.i AND q.vec_id = 0
-        |       WHERE v.vec_id <> 0 GROUP BY 1),
-        |scored AS (SELECT vq.vec_id,
-        |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nq.n2 AS DOUBLE)) AS cos
-        |  FROM vq JOIN n2 nv ON nv.vec_id = vq.vec_id, (SELECT n2 FROM n2 WHERE vec_id = 0) nq
-        |  WHERE vq.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cell = p.cell))
-        |SELECT vec_id, cos, rk FROM (
-        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
-        |  FROM scored) r
-        |WHERE rk <= 10""".stripMargin,
+    // IVF replicated exactly: deterministic FIXED-COUNT centroid sample
+    // (20 smallest Knuth-mixed ids — corpus-size-independent), nearest-
+    // centroid assignment, 4-probe, exact scoring inside probes. Division
+    // shapes mirror Ann.cosineQ (dot / sqrt(n2_left) / sqrt(n2_right)) so
+    // the doubles are bitwise identical.
+    "q_ann_ivf" -> IvfSql,
+    "q_ann_ivf_indexed" -> IvfSql,
 
     "q_embed_neardup" ->
       """WITH u AS (

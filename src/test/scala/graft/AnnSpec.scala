@@ -47,12 +47,45 @@ class AnnSpec extends AnyFunSuite {
     val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
       .select("vec_id", "cos").as[(Long, Double)].collect().toMap
     val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
-        centroidEvery = 25L, nProbe = 4)
+        nCentroids = 20, nProbe = 4)
       .select("vec_id", "cos").as[(Long, Double)].collect().toMap
     assert(ivf.size == 10)
     val overlap = ivf.keySet.intersect(brute.keySet)
     assert(overlap.size >= 5, s"IVF recall too low: ${overlap.size}/10")
     overlap.foreach(id => assert(ivf(id) == brute(id), s"score drift for $id"))
+  }
+
+  test("materialized IVF index: probe equals direct path and scans only nProbe cell partitions") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val path = "/root/repo/target/test_tmp/ivf_index"
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 20)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val indexed = Ann.ivfTopKIndexed(spark, path, "vec_id", "embedding",
+      qv, excludeId = 0L, k = 10, nProbe = 4)
+    val direct = Ann.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCentroids = 20, nProbe = 4)
+    val gi = indexed.select("vec_id", "cos", "rk").as[(Long, Double, Int)].collect().toSet
+    val gd = direct.select("vec_id", "cos", "rk").as[(Long, Double, Int)].collect().toSet
+    assert(gi == gd, s"indexed != direct\nindexed=$gi\ndirect=$gd")
+    // partition pruning: the probe's file scan selects <= nProbe cell dirs
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val cellScans = nodes(indexed.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/cells")) => f
+    }
+    assert(cellScans.nonEmpty, "no file scan over the cells table found")
+    cellScans.foreach { f =>
+      assert(f.selectedPartitions.partitionCount <= 4,
+        s"probe should prune to <= nProbe cell partitions, " +
+          s"got ${f.selectedPartitions.partitionCount}")
+    }
   }
 
   test("cosine near-dups: chunk blocking finds every pair differing in < nChunks components") {

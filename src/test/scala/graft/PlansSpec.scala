@@ -44,6 +44,27 @@ class PlansSpec extends AnyFunSuite {
     assert(auto.count() == manual.count())
   }
 
+  test("top-k paths plan as TakeOrderedAndProject, never an unpartitioned window over the corpus") {
+    import graft.sim.Ann
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    for (df <- Seq(
+        Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
+        Ann.lshTopK(emb, "vec_id", "embedding", 0L, 10, nPlanes = 8),
+        Ann.ivfTopK(emb, "vec_id", "embedding", 0L, 10, nCentroids = 20, nProbe = 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k should plan per-partition heap + driver merge:\n$plan")
+      // every Window in the plan must have a partition spec (the rank
+      // derivation runs over <= k rows, partitioned by a constant)
+      val unpartitioned = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"unpartitioned window in plan:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("pruned read skips chunks: fewer decode calls than a full scan") {
     // count chunk rows surviving below the Generate by reusing the same
     // derived predicate the rule injects
