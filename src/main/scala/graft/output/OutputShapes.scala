@@ -75,4 +75,114 @@ object OutputShapes {
   /** CSV sink (header, deterministic order via caller's sort). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Level names of the multiindex header block, in row order. */
+  val MultiIndexLevels: Seq[String] =
+    Seq("domain", "metric", "attribute", "source", "unit")
+
+  /** Multiindex export — the reference's signature publication shape: a
+    * wide CSV whose header block carries one row per key level (the
+    * reference's 6-row region/variable/attribute/source/web/unit header;
+    * this engine's SeriesKey has 5 levels) labelling every data column,
+    * then a column-name row, then data rows.
+    *
+    * `key` must be a struct with fields (domain, metric, attribute,
+    * source, unit). Returns the pivoted body (utc/cet timestamp columns
+    * first, series columns in sorted flat-name order) plus the rendered
+    * header lines. Guarded like singleIndex: this shape exists for
+    * human-scale publication, not the raw corpus.
+    */
+  def multiIndex(
+      tier: DataFrame,
+      key: Column,
+      epochCol: String,
+      valueCol: String,
+      maxSeries: Int = 10000
+  ): (DataFrame, Seq[String]) = {
+    val flat = array_join(
+      filter(array(MultiIndexLevels.map(l => key.getField(l)): _*),
+        x => x.isNotNull && x =!= ""), "_")
+    val named = tier.select(col(epochCol).as("_ts"), flat.as("_series"),
+      key.as("_k"), col(valueCol).as("_v"))
+    val keys = named
+      .select(col("_series") +:
+        MultiIndexLevels.map(l => col("_k").getField(l).as(l)): _*)
+      .distinct().orderBy("_series").collect()
+    require(keys.length <= maxSeries,
+      s"multiindex export over ${keys.length} series (> $maxSeries); use stacked")
+    val flats = keys.map(_.getString(0)).toSeq
+    val body = named.groupBy(col("_ts"))
+      .pivot("_series", flats)
+      .agg(first(col("_v")))
+      .withColumn("utc_timestamp", utcIso(col("_ts")))
+      .withColumn("cet_cest_timestamp", cetCestIso(col("_ts")))
+      .drop("_ts")
+      .select((Seq(col("utc_timestamp"), col("cet_cest_timestamp")) ++
+        flats.map(col)): _*)
+    val headers = MultiIndexLevels.zipWithIndex.map { case (lvl, i) =>
+      (Seq(lvl, "") ++ keys.map(_.getString(i + 1))).mkString(",")
+    } :+ (Seq("utc_timestamp", "cet_cest_timestamp") ++ flats).mkString(",")
+    (body, headers)
+  }
+
+  /** Assemble the single multiindex CSV file: header block + body rows
+    * ordered by timestamp. The body is written by Spark (headerless,
+    * single part — the shape is maxSeries-guarded human-scale) and the
+    * bounded header block is prepended driver-side.
+    */
+  def writeMultiIndexCsv(body: DataFrame, headers: Seq[String], file: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val tmp = file + ".body"
+    body.orderBy("utc_timestamp").coalesce(1)
+      .write.mode("overwrite").option("header", "false").csv(tmp)
+    val bodyFile = {
+      val s = Files.list(Paths.get(tmp))
+      try s.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst()
+        .orElseThrow(() => new IllegalStateException(s"no part file under $tmp"))
+      finally s.close()
+    }
+    Files.createDirectories(Paths.get(file).getParent)
+    Files.write(Paths.get(file),
+      (headers.mkString("", "\n", "\n")).getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.write(Paths.get(file), Files.readAllBytes(bodyFile),
+      StandardOpenOption.APPEND)
+    // clean the temp body dir
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+  }
+
+  /** Parse a multiindex CSV back to the long shape (series, utc_timestamp,
+    * cet_cest_timestamp, value-as-string). Header rows are dropped
+    * STRUCTURALLY (data rows start with an ISO date, header rows with a
+    * level name), so a data row can never be mistaken for a header.
+    */
+  def readMultiIndexCsv(
+      spark: org.apache.spark.sql.SparkSession,
+      file: String
+  ): DataFrame = {
+    // the column-name row sits right below the level rows; the header
+    // block is bounded (levels + 1 lines), so this is a driver-side read
+    // of a fixed prefix, not a data scan
+    val nameRow = {
+      val in = java.nio.file.Files.newBufferedReader(java.nio.file.Paths.get(file))
+      try {
+        (0 until MultiIndexLevels.length).foreach(_ => in.readLine())
+        in.readLine()
+      } finally in.close()
+    }
+    val names = nameRow.split(",", -1).toSeq
+    val raw = spark.read.option("header", "false").csv(file)
+      .toDF(names: _*)
+      .filter(col(names.head).rlike("^\\d{4}-\\d{2}-\\d{2}T"))
+    val seriesCols = names.drop(2)
+    val stacked = seriesCols.map { sc =>
+      raw.select(lit(sc).as("series"),
+        col(names.head).as("utc_timestamp"),
+        col(names(1)).as("cet_cest_timestamp"),
+        col(sc).as("value"))
+    }.reduce(_ unionByName _)
+    stacked.filter(col("value").isNotNull)
+  }
 }

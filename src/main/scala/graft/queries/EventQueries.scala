@@ -218,6 +218,24 @@ object EventQueries {
         h, concat(col("event_type"), lit("_cents_sum")), "bucket_ts", "sum_cents")
     }),
 
+    // multiindex export round-trip: hourly tier -> 5-level-header wide CSV
+    // file -> structural parse back to long. Proves the reference's
+    // signature publication shape renders and re-reads value-exactly.
+    "q_multiindex_export" -> ((s, dir) => {
+      val h = tierAt(s, dir, 3600)
+      val key = struct(
+        col("event_type").as("domain"), lit("cents").as("metric"),
+        lit("sum").as("attribute"), lit("events").as("source"),
+        lit("cents").as("unit"))
+      val (body, headers) = graft.output.OutputShapes.multiIndex(
+        h, key, "bucket_ts", "sum_cents")
+      val file = "/root/repo/target/verify_tmp/multiindex/hourly.csv"
+      graft.output.OutputShapes.writeMultiIndexCsv(body, headers, file)
+      graft.output.OutputShapes.readMultiIndexCsv(s, file)
+        .select(col("series"), col("utc_timestamp"), col("cet_cest_timestamp"),
+          col("value").cast("long").as("value"))
+    }),
+
     "q_owncalc" -> ((s, dir) =>
       base(s, dir)
         .groupBy(TimeSeriesOps.bucketStart(col("epoch_s"), 3600).as("bucket_ts"))
@@ -330,6 +348,13 @@ object EventQueries {
 
     "q_stacked_export" ->
       s"""SELECT event_type || '_cents_sum' AS series,
+         |  strftime(make_timestamp(bucket_ts * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS utc_timestamp,
+         |  strftime(timezone('Europe/Berlin', to_timestamp(bucket_ts)), '%Y-%m-%dT%H:%M:%S') AS cet_cest_timestamp,
+         |  sum_cents AS value
+         |FROM ($T1H) h""".stripMargin,
+
+    "q_multiindex_export" ->
+      s"""SELECT event_type || '_cents_sum_events_cents' AS series,
          |  strftime(make_timestamp(bucket_ts * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS utc_timestamp,
          |  strftime(timezone('Europe/Berlin', to_timestamp(bucket_ts)), '%Y-%m-%dT%H:%M:%S') AS cet_cest_timestamp,
          |  sum_cents AS value

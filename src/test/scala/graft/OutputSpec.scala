@@ -38,6 +38,32 @@ class OutputSpec extends AnyFunSuite {
     }
   }
 
+  test("multiindex export renders the level-header block and round-trips values byte-stably") {
+    val key = struct(
+      split(col("series_flat"), "_").getItem(0).as("domain"),
+      lit("load").as("metric"), lit("actual").as("attribute"),
+      lit("test").as("source"), lit("MW").as("unit"))
+    val (body, headers) = OutputShapes.multiIndex(tier, key, "ts", "v")
+    assert(headers.length == 6)
+    assert(headers(0) == "domain,,a,b")
+    assert(headers(4) == "unit,,MW,MW")
+    assert(headers(5) ==
+      "utc_timestamp,cet_cest_timestamp,a_load_actual_test_MW,b_load_actual_test_MW")
+    val file = "/root/repo/target/test_tmp/multiindex.csv"
+    OutputShapes.writeMultiIndexCsv(body, headers, file)
+    // golden checksum: the full file (header block + DST-aware body) is
+    // byte-stable across runs and partitionings
+    assert(Metadata.sha256OfFile(java.nio.file.Paths.get(file)) ==
+      "4cf72a0bf5a25ddb56ee90c8265c06a504227eaecbe6facfdce289690f53978d")
+    val back = OutputShapes.readMultiIndexCsv(spark, file)
+      .select("series", "utc_timestamp", "value")
+      .as[(String, String, String)].collect().toSet
+    assert(back == Set(
+      ("a_load_actual_test_MW", "2024-01-01T00:00:00Z", "10.5"),
+      ("a_load_actual_test_MW", "2024-07-01T00:00:00Z", "11.0"),
+      ("b_load_actual_test_MW", "2024-01-01T00:00:00Z", "20.0")))
+  }
+
   test("datapackage descriptor pins file checksums that re-verify") {
     val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "export-")
     OutputShapes.writeCsv(
