@@ -157,6 +157,25 @@ object PageQueries {
           col("DE_load_actual"), col("DE_wind_actual"))
     }),
 
+    // S2/F2 CET-CEST local-time CSV across the 2024-10-27 autumn DST
+    // transition: wall times 02:00-02:59 exist twice; policy latest folds
+    // them to the second (CET) occurrence. The oracle reads the SAME file
+    // and computes the expected UTC from explicit CASE offsets (the spec),
+    // independent of any engine's tz-overlap resolution.
+    "q_csv_cet" -> ((s, dir) => {
+      val p = java.nio.file.Paths.get("/root/repo/target/verify_tmp/eu_cet.csv")
+      java.nio.file.Files.createDirectories(p.getParent)
+      val rows = (0 until 20).map { i =>
+        val ts = f"2024-10-27 ${i / 4}%02d:${(i % 4) * 15}%02d:00"
+        s"$ts;$i,5"
+      }
+      java.nio.file.Files.writeString(p,
+        "timestamp;DE_load\n;actual\n" + rows.mkString("\n") + "\n")
+      CsvSource.readEuTimeSeries(s, p.toString, headerRows = 2,
+          sourceTz = "Europe/Berlin", ambiguous = "latest")
+        .select(unix_timestamp(col("ts")).as("epoch_s"), col("DE_load_actual"))
+    }),
+
     // per-row invariant: text bytes survive a partitioned write+read
     "q_text_invariant" -> ((s, dir) => {
       val pages = Pages.synthesize(s, dir)
@@ -267,6 +286,13 @@ object PageQueries {
         |  TRY_CAST(replace(replace(trim(c2), '.', ''), ',', '.') AS DOUBLE) AS DE_wind_actual
         |FROM read_csv('/root/repo/target/verify_tmp/eu_ts.csv', delim=';', header=false, skip=2,
         |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR'})""".stripMargin,
+
+    "q_csv_cet" ->
+      """SELECT epoch_us(CAST(c0 AS TIMESTAMP))//1000000
+        |  - (CASE WHEN c0 < '2024-10-27 02:00:00' THEN 7200 ELSE 3600 END) AS epoch_s,
+        |  TRY_CAST(replace(replace(trim(c1), '.', ''), ',', '.') AS DOUBLE) AS DE_load_actual
+        |FROM read_csv('/root/repo/target/verify_tmp/eu_cet.csv', delim=';', header=false, skip=2,
+        |  columns={'c0':'VARCHAR','c1':'VARCHAR'})""".stripMargin,
 
     "q_topk_domains" ->
       s"""SELECT domain, visits, rk FROM (

@@ -44,4 +44,56 @@ class CsvSourceSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq
     assert(ts == Seq(1704067200L, 1704068100L, 1704069000L))
   }
+
+  test("a data row textually equal to a header line survives (positional drop)") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "csv-test-")
+    val f = dir.resolve("evil.csv")
+    // row 3's content equals the first header line byte-for-byte
+    Files.writeString(f,
+      """name;kind
+        |a;x
+        |name;kind
+        |b;y
+        |""".stripMargin)
+    val df = CsvSource.readMultiHeader(spark, f.toString, headerRows = 1)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("a", "x"), ("name", "kind"), ("b", "y")),
+      s"header-identical data row must survive, got $rows")
+  }
+
+  /** 2024-10-27 is the autumn DST transition in Europe/Berlin: wall times
+    * 02:00–02:59 occur twice (CEST +2 then CET +1).
+    */
+  private lazy val dstCsvPath = {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "csv-dst-")
+    val f = dir.resolve("local.csv")
+    Files.writeString(f,
+      """timestamp;DE_load
+        |;actual
+        |2024-10-27 01:30:00;1,0
+        |2024-10-27 02:30:00;2,0
+        |2024-10-27 03:30:00;3,0
+        |""".stripMargin)
+    f.toString
+  }
+
+  test("CET/CEST local parsing: ambiguous=earliest folds to the first occurrence") {
+    val df = CsvSource.readEuTimeSeries(spark, dstCsvPath, headerRows = 2,
+      sourceTz = "Europe/Berlin", ambiguous = "earliest")
+    val ts = df.select(org.apache.spark.sql.functions.unix_timestamp($"ts"))
+      .as[Long].collect().sorted.toSeq
+    // 01:30 CEST = 23:30Z(-1d); 02:30 earliest = CEST = 00:30Z; 03:30 CET = 02:30Z
+    assert(ts == Seq(1729985400L, 1729989000L, 1729996200L),
+      s"got ${ts.map(java.time.Instant.ofEpochSecond(_))}")
+  }
+
+  test("CET/CEST local parsing: ambiguous=latest folds to the second occurrence") {
+    val df = CsvSource.readEuTimeSeries(spark, dstCsvPath, headerRows = 2,
+      sourceTz = "Europe/Berlin", ambiguous = "latest")
+    val ts = df.select(org.apache.spark.sql.functions.unix_timestamp($"ts"))
+      .as[Long].collect().sorted.toSeq
+    // ambiguous 02:30 -> CET = 01:30Z; unambiguous rows unchanged
+    assert(ts == Seq(1729985400L, 1729992600L, 1729996200L),
+      s"got ${ts.map(java.time.Instant.ofEpochSecond(_))}")
+  }
 }
