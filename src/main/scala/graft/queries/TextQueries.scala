@@ -102,9 +102,20 @@ object TextQueries {
         Pages.synthesize(s, dir).dropDuplicates("url"), "url", "html")
         .toDF()),
 
-    // Structured Streaming hourly rollup == batch hourly tier
-    "q_stream_1h" -> ((s, dir) =>
-      StreamingRollup.hourlyRollup(s, dir, "graft_stream_verify")),
+    // Structured Streaming hourly rollup == batch hourly tier, through
+    // the PRODUCTION sink: foreachBatch copy-on-write MERGE into a
+    // day-partitioned snapshot table (memory sink is test-harness-only)
+    "q_stream_1h" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get("/root/repo/target/verify_tmp/stream_1h")
+      if (java.nio.file.Files.exists(root)) {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally st.close()
+      }
+      StreamingRollup.hourlyRollupMerged(s, dir, "events.parquet",
+        s"$root/table", s"$root/ckpt")
+    }),
 
     // stateful streaming upsert (flatMapGroupsWithState): latest event
     // per user, state carried across micro-batches

@@ -48,7 +48,107 @@ object StreamingRollup {
       col("n"), col("sum_cents"))
   }
 
-  case class Ev(event_id: Long, epoch_s: Long, user_id: Long,
+  /** Copy-on-write MERGE of one micro-batch of hourly aggregates
+    * (event_type, bucket_ts, n, sum_cents) into a day-partitioned
+    * ManifestTableLayer: only the day partitions the batch touches are
+    * rewritten (existing rows kept via anti-join, matching keys replaced
+    * by the batch's new values), then committed as a new snapshot. This is
+    * the cluster sink shape (Iceberg MERGE INTO is the same copy-on-write
+    * move); nothing accumulates on the driver — each day merge is a
+    * distributed job over one partition + the batch slice.
+    */
+  def mergeHourlyBatch(
+      spark: SparkSession,
+      layer: graft.table.ManifestTableLayer,
+      batch: DataFrame,
+      batchId: Long
+  ): Unit = {
+    import spark.implicits._
+    val b = batch.select("event_type", "bucket_ts", "n", "sum_cents")
+      .withColumn("day",
+        date_format(timestamp_seconds(col("bucket_ts")), "yyyy-MM-dd"))
+      .persist()
+    try {
+      // affected days are bounded by the watermark horizon, not the corpus
+      val days = b.select("day").distinct().as[String].collect().sorted
+      if (days.isEmpty) return
+      val current = layer.currentPartitions().map(p => p.key -> p).toMap
+      days.foreach { day =>
+        val key = s"tier=1h/day=$day"
+        val batchDay = b.filter(col("day") === day).drop("day")
+        val merged = current.get(key) match {
+          case Some(pm) =>
+            spark.read.parquet(pm.path)
+              .join(batchDay.select("event_type", "bucket_ts"),
+                Seq("event_type", "bucket_ts"), "left_anti")
+              .unionByName(batchDay)
+          case None => batchDay
+        }
+        val outDir = layer.dataDir(key).resolve(s"b$batchId").toString
+        merged.write.mode("overwrite").parquet(outDir)
+        // metrics from the committed files (footer-only count, fs sizes)
+        val written = spark.read.parquet(outDir)
+        val rows = written.count()
+        val bytes = {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+          try s.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p))
+            .map(java.nio.file.Files.size).sum
+          finally s.close()
+        }
+        layer.commit(
+          Seq(graft.table.PartitionMeta(key, outDir, rows, bytes,
+            s"stream-merge batch=$batchId")),
+          Seq(key))
+      }
+    } finally b.unpersist()
+  }
+
+  /** Hourly streaming rollup through the PRODUCTION sink shape:
+    * watermarked update-mode aggregation -> `foreachBatch` copy-on-write
+    * MERGE into a snapshot table — resumable via `checkpointDir` across
+    * query restarts (late/new files upsert the same table). Returns the
+    * table's current contents.
+    */
+  def hourlyRollupMerged(
+      spark: SparkSession,
+      dir: String,
+      glob: String,
+      tableRoot: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 0
+  ): DataFrame = {
+    val layer = new graft.table.ManifestTableLayer(tableRoot)
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val src = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(dir)
+    val stream = src
+      .select(
+        col("event_type"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(col("cents")).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("bucket_ts"),
+        col("n"), col("sum_cents"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        mergeHourlyBatch(spark, layer, batch, id))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    layer.read(spark).select("event_type", "bucket_ts", "n", "sum_cents")
+  }
+
+  case class Ev(event_id: Long, epoch_us: Long, user_id: Long,
       event_type: String, cents: Long)
 
   /** Stateful streaming upsert: latest event per user via
@@ -78,9 +178,12 @@ object StreamingRollup {
     val src = (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader).parquet(dir)
+    // state carries FULL-microsecond timestamps: the dedupe contract is
+    // (ts, event_id) at source precision — second-truncated state would
+    // silently diverge from the batch dedupe on sub-second ties
     val evs = src.select(
         col("event_id").cast("long").as("event_id"),
-        unix_timestamp(col("ts").cast("timestamp")).as("epoch_s"),
+        unix_micros(col("ts").cast("timestamp")).as("epoch_us"),
         col("user_id").cast("long").as("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -90,14 +193,14 @@ object StreamingRollup {
         (uid: Long, rows: Iterator[Ev], st: GroupState[Ev]) =>
           var cur = st.getOption.orNull
           rows.foreach { e =>
-            if (cur == null || e.epoch_s > cur.epoch_s ||
-                (e.epoch_s == cur.epoch_s && e.event_id > cur.event_id))
+            if (cur == null || e.epoch_us > cur.epoch_us ||
+                (e.epoch_us == cur.epoch_us && e.event_id > cur.event_id))
               cur = e
           }
           st.update(cur)
-          Iterator((uid, cur.event_id, cur.epoch_s, cur.event_type, cur.cents))
+          Iterator((uid, cur.event_id, cur.epoch_us, cur.event_type, cur.cents))
       }
-      .toDF("user_id", "event_id", "epoch_s", "event_type", "cents")
+      .toDF("user_id", "event_id", "epoch_us", "event_type", "cents")
     val q = latest.writeStream
       .outputMode("update")
       .format("memory")
@@ -107,10 +210,11 @@ object StreamingRollup {
     q.processAllAvailable()
     q.stop()
     val w = Window.partitionBy("user_id")
-      .orderBy(col("epoch_s").desc, col("event_id").desc)
+      .orderBy(col("epoch_us").desc, col("event_id").desc)
     spark.table(queryName)
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
-      .drop("_rk")
+      .withColumn("epoch_s", expr("epoch_us div 1000000"))
+      .select("user_id", "event_id", "epoch_s", "event_type", "cents")
   }
 }

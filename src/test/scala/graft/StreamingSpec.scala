@@ -39,4 +39,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select(cols: _*).except(batch.select(cols: _*)).isEmpty)
     assert(streamed.count() == batch.count())
   }
+
+  test("foreachBatch MERGE sink resumes across query restarts == batch rollup") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-merge-").toString
+    val srcDir = s"$base/src"
+    val events = spark.read.parquet(s"${SparkTestSession.sf0001}/events.parquet")
+
+    // split by EVENT TIME (later files carry later data, the real arrival
+    // order) — splitting randomly would make run 2 entirely "late" past
+    // the checkpointed watermark, which correctly drops it
+    val cutoff = events.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+      .head().getDouble(0).toLong
+
+    // run 1: only the first half of the timeline exists; the query drains
+    // it and stops (a "kill" between the two runs), MERGE-committing
+    events.filter(unix_micros(col("ts").cast("timestamp")) < cutoff)
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val r1 = StreamingRollup.hourlyRollupMerged(spark, srcDir, "*.parquet",
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    assert(r1.count() > 0)
+
+    // run 2: the rest of the timeline arrives; SAME checkpoint + table —
+    // the restarted query restores aggregation state and upserts the table
+    events.filter(unix_micros(col("ts").cast("timestamp")) >= cutoff)
+      .repartition(2).write.mode("append").parquet(srcDir)
+    val r2 = StreamingRollup.hourlyRollupMerged(spark, srcDir, "*.parquet",
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+
+    val batch = events.select(
+        col("event_type"),
+        (unix_timestamp(col("ts").cast("timestamp")) / 3600).cast("long") * 3600,
+        round(col("value") * 100).cast("long"))
+      .toDF("event_type", "bucket_ts", "cents")
+      .groupBy("event_type", "bucket_ts")
+      .agg(count(col("cents")).as("n"), sum(col("cents")).as("sum_cents"))
+    val cols = Seq("event_type", "bucket_ts", "n", "sum_cents").map(col)
+    assert(r2.select(cols: _*).except(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).except(r2.select(cols: _*)).isEmpty,
+      "resumed MERGE table must equal the batch rollup over all files")
+    assert(r2.count() == batch.count())
+    // snapshot history exists (multiple commits across batches/runs)
+    val layer = new graft.table.ManifestTableLayer(s"$base/table")
+    assert(layer.currentPartitions().nonEmpty)
+  }
 }
