@@ -145,6 +145,79 @@ object ChunkWriter {
     ((v >>> 1) ^ -(v & 1L), p) // un-zigzag
   }
 
+  /** One decoded directory entry: a series' chunk-run inside a partition. */
+  case class IndexEntry(seriesHash: Long, t0: Long, tMax: Long, n: Long)
+
+  /** Stream-decode a delta+varint directory back to entries. */
+  def decodeDirectory(dir: Array[Byte]): Iterator[IndexEntry] =
+    new Iterator[IndexEntry] {
+      private var pos = 0
+      private var prevHash = 0L
+      private var prevT0 = 0L
+      override def hasNext: Boolean = pos < dir.length
+      override def next(): IndexEntry = {
+        val (dh, p1) = readVarLong(dir, pos)
+        val (dt0, p2) = readVarLong(dir, p1)
+        val (span, p3) = readVarLong(dir, p2)
+        val (n, p4) = readVarLong(dir, p3)
+        pos = p4
+        prevHash += dh
+        prevT0 += dt0
+        IndexEntry(prevHash, prevT0, prevT0 + span, n)
+      }
+    }
+
+  /** Materialize the chunk store partitioned by series bucket, plus its
+    * delta-encoded partition index (`<path>/chunks/part_id=*` +
+    * `<path>/index`). The same `part_id` derivation feeds both, so the
+    * index's verdicts map 1:1 onto storage partitions.
+    */
+  def writeIndexedStore(chunks: Dataset[FlatChunk], path: String, buckets: Int): Unit = {
+    chunks.toDF()
+      .withColumn("part_id",
+        pmod(xxhash64(col("series_flat")), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("part_id").parquet(s"$path/chunks")
+    buildIndex(chunks, buckets).toDF()
+      .write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  /** Index-driven read: the compact index alone decides which storage
+    * partitions can contain the requested (series, time-window) chunks —
+    * the verdict is computed DISTRIBUTED over index rows and only the
+    * surviving part_ids (ints) reach the driver, so the subsequent scan
+    * prunes at the file listing without ever listing skipped partitions.
+    * Series matching uses the directory's murmur hashes (false positives
+    * possible, none missed); the exact series filter is re-applied on the
+    * scanned rows.
+    */
+  def indexedRead(
+      spark: SparkSession,
+      path: String,
+      series: Seq[String],
+      from: Long,
+      until: Long
+  ): DataFrame = {
+    import spark.implicits._
+    val wanted = series
+      .map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong).toSet
+    val keep = spark.read.parquet(s"$path/index").as[PartitionIndex]
+      .filter { pi =>
+        pi.t_max >= from && pi.t_min < until &&
+          decodeDirectory(pi.directory).exists(e =>
+            (wanted.isEmpty || wanted(e.seriesHash)) &&
+              e.tMax >= from && e.t0 < until)
+      }
+      .map(_.part_id).collect().toSeq
+    val scan = spark.read.parquet(s"$path/chunks")
+      .filter(col("part_id").isin(keep: _*)) // partition pruning
+      .filter(col("t_max") >= from && col("t0") < until)
+    val bySeries =
+      if (series.isEmpty) scan
+      else scan.filter(col("series_flat").isin(series: _*))
+    decodeSql(bySeries)
+      .filter(col("ts") >= from && col("ts") < until)
+  }
+
   /** Build the per-partition index from the chunk table. Partition identity
     * is a hash bucket of the series (mirroring the table layout's
     * bucket-by-url-hash).

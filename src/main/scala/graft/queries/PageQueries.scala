@@ -137,6 +137,23 @@ object PageQueries {
           TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
     }),
 
+    // delta-encoded partition index drives the read: only partitions the
+    // index proves relevant (series hash + time span) are listed/scanned,
+    // then chunk-level prune + Gorilla decode
+    "q_index_read" -> ((s, dir) => {
+      val from = Pages.T0Epoch + 1 * 86400L
+      val until = Pages.T0Epoch + 4 * 86400L
+      val t = tier15(s, dir).filter(col("metric") === "score")
+        .select(concat(col("domain"), lit("_score")).as("series_flat"),
+          col("bucket_ts").as("ts"), col("mean_v").as("value"))
+      val chunks = ChunkWriter.build(t, "15min", maxPoints = 96)
+      val store = "/root/repo/target/verify_tmp/chunk_store_idx"
+      ChunkWriter.writeIndexedStore(chunks, store, buckets = 16)
+      ChunkWriter.indexedRead(s, store,
+          Seq("d7.example_score", "d42.example_score"), from, until)
+        .select(col("series_flat"), col("ts"), col("value"))
+    }),
+
     // S2 CSV source, oracle-checked end-to-end: Spark parses a
     // deterministic EU-format CSV (decimal comma, dot thousands, 2 header
     // rows, n/a cells) via CsvSource; DuckDB reads the SAME file with its
@@ -286,6 +303,13 @@ object PageQueries {
         |  TRY_CAST(replace(replace(trim(c2), '.', ''), ',', '.') AS DOUBLE) AS DE_wind_actual
         |FROM read_csv('/root/repo/target/verify_tmp/eu_ts.csv', delim=';', header=false, skip=2,
         |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR'})""".stripMargin,
+
+    "q_index_read" ->
+      s"""SELECT domain || '_score' AS series_flat, bucket_ts AS ts, mean_v AS value
+         |FROM ($T15) t15
+         |WHERE metric = 'score' AND domain IN ('d7.example', 'd42.example')
+         |  AND bucket_ts >= ${Pages.T0Epoch + 1 * 86400L}
+         |  AND bucket_ts < ${Pages.T0Epoch + 4 * 86400L}""".stripMargin,
 
     "q_csv_cet" ->
       """SELECT epoch_us(CAST(c0 AS TIMESTAMP))//1000000

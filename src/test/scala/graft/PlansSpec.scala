@@ -65,6 +65,41 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("indexedRead consults the delta index: skipped partitions are never listed") {
+    import graft.chunk.ChunkWriter
+    val store = "/root/repo/target/test_tmp/chunk_store"
+    ChunkWriter.writeIndexedStore(chunks, store, buckets = 8)
+    val totalParts = {
+      val dirs = new java.io.File(s"$store/chunks")
+        .listFiles().filter(f => f.isDirectory && f.getName.startsWith("part_id="))
+      dirs.length
+    }
+    val got = ChunkWriter.indexedRead(spark, store, Seq("s1"), 90000L, 180000L)
+    // correctness: equals the direct decode + filter path
+    val direct = ChunkWriter.decode(chunks)
+      .filter(col("series_flat") === "s1" && col("ts") >= 90000L && col("ts") < 180000L)
+      .select("series_flat", "ts", "value")
+    val g = got.select("series_flat", "ts", "value")
+    assert(g.except(direct).isEmpty && direct.except(g).isEmpty)
+    assert(g.count() == direct.count() && g.count() > 0)
+    // pruning: the chunk scan lists strictly fewer partitions than exist
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val scans = nodes(got.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/chunks")) => f
+    }
+    assert(scans.nonEmpty, "no file scan over the chunk store found")
+    scans.foreach { f =>
+      assert(f.selectedPartitions.partitionCount < totalParts,
+        s"index should prune the listing: ${f.selectedPartitions.partitionCount} of $totalParts")
+    }
+  }
+
   test("pruned read skips chunks: fewer decode calls than a full scan") {
     // count chunk rows surviving below the Generate by reusing the same
     // derived predicate the rule injects
