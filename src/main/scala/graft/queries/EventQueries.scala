@@ -218,6 +218,44 @@ object EventQueries {
         h, concat(col("event_type"), lit("_cents_sum")), "bucket_ts", "sum_cents")
     }),
 
+    // S7 JDBC sink, driver-gated: hourly tier -> write.jdbc into embedded
+    // Derby (ships with Spark) -> read.jdbc back. Oracle recomputes the
+    // tier from the events table.
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      val tier = tierAt(s, dir, 3600)
+        .select("event_type", "bucket_ts", "n", "sum_cents")
+      val db = "/root/repo/target/verify_tmp/jdbc_derby"
+      graft.output.JdbcSink.roundTrip(tier, s"jdbc:derby:$db;create=true", "tier_1h")
+        .select(col("event_type"), col("bucket_ts").cast("long").as("bucket_ts"),
+          col("n").cast("long").as("n"),
+          col("sum_cents").cast("long").as("sum_cents"))
+    }),
+
+    // S8 datapackage metadata, driver-gated: export a deterministic CSV,
+    // emit the descriptor, return its (resource, bytes, sha256) rows; the
+    // oracle hashes the SAME file independently via read_blob.
+    "q_datapackage" -> ((s, dir) => {
+      import s.implicits._
+      val stacked = graft.output.OutputShapes.stacked(
+          tierAt(s, dir, 3600),
+          concat(col("event_type"), lit("_cents_sum")), "bucket_ts", "sum_cents")
+        .orderBy("series", "utc_timestamp").coalesce(1)
+      val root = "/root/repo/target/verify_tmp/dpkg"
+      graft.output.OutputShapes.writeCsv(stacked, s"$root/stacked")
+      graft.output.Metadata.dataPackage("verify-export", root,
+        Seq(("stacked", stacked)))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root/datapackage.json")))
+      val rows = for {
+        i <- 0 until node.get("resources").size()
+        r = node.get("resources").get(i)
+        j <- 0 until r.get("files").size()
+        f = r.get("files").get(j)
+      } yield (r.get("path").asText(), f.get("bytes").asLong(), f.get("sha256").asText())
+      rows.toDF("resource", "bytes", "sha256")
+    }),
+
     // multiindex export round-trip: hourly tier -> 5-level-header wide CSV
     // file -> structural parse back to long. Proves the reference's
     // signature publication shape renders and re-reads value-exactly.
@@ -352,6 +390,14 @@ object EventQueries {
          |  strftime(timezone('Europe/Berlin', to_timestamp(bucket_ts)), '%Y-%m-%dT%H:%M:%S') AS cet_cest_timestamp,
          |  sum_cents AS value
          |FROM ($T1H) h""".stripMargin,
+
+    "q_jdbc_roundtrip" ->
+      s"""SELECT event_type, bucket_ts, n, sum_cents FROM ($T1H) h""",
+
+    "q_datapackage" ->
+      """SELECT 'stacked' AS resource, CAST(size AS BIGINT) AS bytes,
+        |  sha256(decode(content)) AS sha256
+        |FROM read_blob('/root/repo/target/verify_tmp/dpkg/stacked/part-*.csv')""".stripMargin,
 
     "q_multiindex_export" ->
       s"""SELECT event_type || '_cents_sum_events_cents' AS series,
