@@ -29,7 +29,12 @@ import graft.retention.Retention
   */
 object Pipeline {
 
-  val Tiers: Seq[(String, Long)] = Seq("15min" -> 900L, "1h" -> 3600L, "1d" -> 86400L)
+  /** Retention tiers in chain order: each aggregates the PREVIOUS one
+    * (continuous aggregates — raw pages are read once, by 15min only).
+    * Carries all three OPSD native resolutions (15/30/60 min) plus daily.
+    */
+  val Tiers: Seq[(String, Long)] =
+    Seq("15min" -> 900L, "30min" -> 1800L, "1h" -> 3600L, "1d" -> 86400L)
 
   /** Long-format points derived purely from canonical page columns. */
   def pointsFromPages(pages: DataFrame): DataFrame = {
@@ -116,7 +121,9 @@ object Pipeline {
       if (tier == "15min")
         tier15FromPages(dayPages(day))
       else {
-        val child = if (tier == "1h") "15min" else "1h"
+        // chain from the immediately preceding tier (900|1800|3600|86400
+        // each divide the next, so every step is an exact re-aggregation)
+        val child = Tiers(Tiers.indexWhere(_._1 == tier) - 1)._1
         val childDf = spark.read.parquet(table.dataDir(tierKey(child, day)).toString)
         TimeSeriesOps.chainTier(childDf, seriesCols, period)
       }

@@ -42,9 +42,16 @@ case class GorillaExplode(children: Seq[Expression])
   }
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val n = children(0).eval(input).asInstanceOf[Int]
-    val blob = children(1).eval(input).asInstanceOf[Array[Byte]]
-    val crc = children(2).eval(input).asInstanceOf[Int]
+    val nRaw = children(0).eval(input)
+    val blobRaw = children(1).eval(input)
+    val crcRaw = children(2).eval(input)
+    // null input -> no rows, like the built-in generators (a nullable
+    // chunk row must not NPE the query); CRC still guards non-null blobs
+    if (nRaw == null || blobRaw == null || crcRaw == null)
+      return Iterator.empty
+    val n = nRaw.asInstanceOf[Int]
+    val blob = blobRaw.asInstanceOf[Array[Byte]]
+    val crc = crcRaw.asInstanceOf[Int]
     require(Gorilla.crc32(blob) == crc, "gorilla_explode: CRC mismatch")
     val (ts, vs) = Gorilla.decode(blob, n)
     ts.indices.iterator.map { i =>

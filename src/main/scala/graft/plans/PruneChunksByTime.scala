@@ -51,6 +51,37 @@ object PruneChunksByTime extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** Resolve the chunk-bound attributes from the SAME source node that
+    * produced the generator's inputs — never by name over the whole child
+    * output. The generator's blob argument is traced to the deepest plan
+    * node carrying it (the chunk relation); t0/t_max are taken from THAT
+    * node's output and must still be visible (same exprId) at the
+    * Generate's child, so a joined/derived/renamed t0 from anywhere else
+    * can never be mistaken for a chunk time bound (round-1 advice). When
+    * the binding fails the rule no-ops: decode stays correct, just
+    * unpruned.
+    */
+  private def chunkBounds(g: Generate): Option[(Attribute, Attribute)] = {
+    import org.apache.spark.sql.types._
+    // generator inputs must be plain (n, blob, crc) attributes
+    val blobAttr = g.generator.children match {
+      case Seq(n: Attribute, b: Attribute, c: Attribute)
+        if n.name == "n" && b.name == "blob" && c.name == "crc" => Some(b)
+      case _ => None
+    }
+    def deepest(p: LogicalPlan, a: Attribute): Option[LogicalPlan] =
+      p.children.flatMap(deepest(_, a)).headOption
+        .orElse(if (p.output.exists(_.semanticEquals(a))) Some(p) else None)
+    for {
+      blob <- blobAttr
+      src <- deepest(g.child, blob)
+      t0 <- src.output.find(a => a.name == "t0" && a.dataType == LongType)
+      tMax <- src.output.find(a => a.name == "t_max" && a.dataType == LongType)
+      if g.child.output.exists(_.semanticEquals(t0)) &&
+        g.child.output.exists(_.semanticEquals(tMax))
+    } yield (t0, tMax)
+  }
+
   /** Chunk-level conjunction derivable from `cond`, minus predicates the
     * child filter already carries; None when nothing new can be injected.
     */
@@ -60,8 +91,7 @@ object PruneChunksByTime extends Rule[LogicalPlan] with PredicateHelper {
     val ts = g.generatorOutput.head
     val child = g.child
     for {
-      t0 <- child.output.find(_.name == "t0")
-      tMax <- child.output.find(_.name == "t_max")
+      (t0, tMax) <- chunkBounds(g)
       existing = child match {
         case Filter(c, _) => splitConjunctivePredicates(c)
         case _ => Nil

@@ -30,6 +30,9 @@ object PageQueries {
   private val T15 =
     s"SELECT domain, metric, epoch_s//900*900 AS bucket_ts, count(value) AS n, " +
       s"sum(value) AS sum_v, sum(value)/count(value) AS mean_v FROM ($POINTS) pts GROUP BY 1, 2, 3"
+  private val T30 =
+    s"SELECT domain, metric, bucket_ts//1800*1800 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
+      s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM ($T15) t15 GROUP BY 1, 2, 3"
   private val T1H =
     s"SELECT domain, metric, bucket_ts//3600*3600 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
       s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM ($T15) t15 GROUP BY 1, 2, 3"
@@ -49,6 +52,7 @@ object PageQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pages_tier15" -> ((s, dir) => tier15(s, dir)),
+    "q_pages_30min" -> ((s, dir) => chain(tier15(s, dir), 1800)),
     "q_pages_1h" -> ((s, dir) => chain(tier15(s, dir), 3600)),
     "q_pages_1d" -> ((s, dir) => chain(chain(tier15(s, dir), 3600), 86400)),
 
@@ -222,6 +226,7 @@ object PageQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_pages_tier15" -> T15,
+    "q_pages_30min" -> T30,
     "q_pages_1h" -> T1H,
     "q_pages_1d" -> T1D,
     "q_pages_salted15" -> T15,

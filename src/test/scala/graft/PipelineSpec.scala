@@ -34,6 +34,7 @@ class PipelineSpec extends AnyFunSuite {
   test("rollup commits tiers + chunks + index partitions for every day") {
     val keys = table.currentPartitions().map(_.key)
     assert(keys.count(_.startsWith("tier=15min/")) == 7)
+    assert(keys.count(_.startsWith("tier=30min/")) == 7)
     assert(keys.count(_.startsWith("tier=1h/")) == 7)
     assert(keys.count(_.startsWith("tier=1d/")) == 7)
     assert(keys.count(_.startsWith("chunks-15min/")) == 7)

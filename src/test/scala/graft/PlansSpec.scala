@@ -44,6 +44,32 @@ class PlansSpec extends AnyFunSuite {
     assert(auto.count() == manual.count())
   }
 
+  test("PruneChunksByTime leaves non-chunk relations alone (joined/derived t0 is not a chunk bound)") {
+    // a frame where a FOREIGN t0 column (wrong values) precedes the chunk
+    // table's own: name-bound injection here would silently drop rows
+    val foreign = Seq((999999999L, "x")).toDF("t0", "tag")
+    val joined = foreign.crossJoin(chunks.toDF().withColumnRenamed("t0", "chunk_t0"))
+    val q = joined.selectExpr("series_flat", "gorilla_explode(n, blob, crc)")
+      .filter(col("ts") >= 90000L && col("ts") < 180000L)
+      .select("series_flat", "ts", "value")
+    val expected = ChunkWriter.decode(chunks)
+      .filter(col("ts") >= 90000L && col("ts") < 180000L)
+      .select("series_flat", "ts", "value")
+    assert(q.except(expected).isEmpty && expected.except(q).isEmpty)
+    assert(q.count() == expected.count() && q.count() > 0)
+  }
+
+  test("gorilla_explode emits no rows for null chunk columns instead of crashing") {
+    val withNull = chunks.toDF()
+      .unionByName(chunks.toDF().limit(1)
+        .withColumn("blob", lit(null).cast("binary"))
+        .withColumn("n", lit(null).cast("int"))
+        .withColumn("crc", lit(null).cast("int")))
+    val decoded = withNull.selectExpr("series_flat", "gorilla_explode(n, blob, crc)")
+    val base = chunks.toDF().selectExpr("series_flat", "gorilla_explode(n, blob, crc)")
+    assert(decoded.count() == base.count())
+  }
+
   test("top-k paths plan as TakeOrderedAndProject, never an unpartitioned window over the corpus") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
