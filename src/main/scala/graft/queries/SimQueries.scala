@@ -48,8 +48,44 @@ object SimQueries {
     "q_embed_neardup" -> ((s, dir) =>
       Ann.cosineNearDups(
         embeddingsWithNearDups(s, dir), "vec_id", "embedding",
-        threshold = 0.9))
+        threshold = 0.9)),
+
+    // duplicate-cluster canonicalization: near-dup pairs (with transitive
+    // CHAINS v ~ v+100000 ~ v+200000 where (v, v+200000) is below the
+    // threshold) -> connected components -> min-id cluster labels. Only
+    // docs in a cluster of size > 1 are returned (stable oracle shape).
+    "q_dup_clusters" -> ((s, dir) => {
+      val u = embeddingsWithChains(s, dir)
+      val pairs = Ann.cosineNearDups(u, "vec_id", "embedding", threshold = 0.9)
+      val labels = graft.text.TextOps.dupClusters(
+        u, "vec_id", pairs, "id_a", "id_b")
+      labels.join(
+          labels.groupBy("cluster_id").agg(count(lit(1)).as("_n"))
+            .filter(col("_n") > 1).select("cluster_id"),
+          "cluster_id")
+        .select(col("vec_id"), col("cluster_id"))
+    })
   )
+
+  /** embeddingsWithNearDups plus a SECOND perturbation level per seed
+    * (+0.55 on the first component as vec_id + 200000): cos(v, v+100000)
+    * and cos(v+100000, v+200000) clear the 0.9 threshold while
+    * cos(v, v+200000) generally does not — transitive chains that only
+    * connected components can collapse. Arithmetic stays double-exact
+    * (0.25/0.55 quantized at 2^20 are integers) for the oracle.
+    */
+  private def embeddingsWithChains(s: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsWithNearDups(s, dir)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pert2 = e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 200000).as("vec_id"),
+      concat(
+        array(element_at(col("embedding"), 1).cast("double") + 0.55),
+        transform(slice(col("embedding"), 2, 1000000), x => x.cast("double")))
+        .as("embedding"))
+    base.unionByName(pert2)
+  }
 
   /** embeddings + injected near-duplicates: vec_id % 10 == 0 re-appears as
     * vec_id + 100000 with the first component shifted by +0.25 — cosine
@@ -124,6 +160,38 @@ object SimQueries {
     // the doubles are bitwise identical.
     "q_ann_ivf" -> IvfSql,
     "q_ann_ivf_indexed" -> IvfSql,
+
+    // connected components replayed via a recursive transitive closure —
+    // feasible for the oracle because dup clusters are tiny; the engine
+    // side is the scalable label-propagation loop
+    "q_dup_clusters" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, [CAST(embedding[1] AS DOUBLE) + 0.25] || embedding[2:]
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, [CAST(embedding[1] AS DOUBLE) + 0.55] || embedding[2:]
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
+        |              generate_subscripts(embedding, 1) AS i FROM u),
+        |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.qe * b.qe) AS BIGINT) AS dot
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM dots JOIN n2 na ON na.vec_id = id_a JOIN n2 nb ON nb.vec_id = id_b
+        |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM u
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |labels AS (SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |           FROM reach GROUP BY 1),
+        |sizes AS (SELECT cluster_id, count(*) AS c FROM labels GROUP BY 1)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster_id
+        |FROM labels JOIN sizes USING (cluster_id) WHERE c > 1""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH u AS (

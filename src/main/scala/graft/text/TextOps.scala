@@ -125,6 +125,57 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair graph: every doc is
+    * assigned the MINIMUM id reachable through dup pairs — its cluster id
+    * / canonical keeper. This is the step that turns pairwise near-dup
+    * detection into one-survivor-per-cluster dedup: transitive chains
+    * a~b~c collapse into one cluster even when the (a, c) pair was never
+    * detected.
+    *
+    * Algorithm: iterative min-label propagation over the symmetrized edge
+    * list. Each round is one join + partial-aggregated groupBy (labels
+    * shuffled by id, edges pre-shuffled once); the driver loop only reads
+    * a scalar convergence count. Rounds needed = component diameter —
+    * dup clusters are small and star-like, so a handful in practice (the
+    * same convergence contract as the large-star/small-star CC algorithms
+    * used at web scale).
+    */
+  def dupClusters(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 20
+  ): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct().persist()
+    var labels = docs.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("label")).persist()
+    labels.count()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("_chg"))
+        .persist()
+      changed = updated.filter(col("_chg")).count() // materializes `updated`
+      labels.unpersist(false)
+      labels = updated // keep the MATERIALIZED frame; _chg is pruned at the end
+      iters += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard between explicit pairs (the verification kernel
     * of the LSH pipeline, exposed standalone).
     */

@@ -80,6 +80,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Seq("en", "de", "en"))
   }
 
+  test("dupClusters collapses transitive chains to min-id components") {
+    import org.apache.spark.sql.functions._
+    // components: {1,2,3,4} via chain 1-2-3-4, {10,11}, singletons 20, 21
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = TextOps.dupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
   test("rolling FNV-1a hash: deterministic, order-sensitive") {
     val a = TextOps.rollingHash64("hello world")
     val b = TextOps.rollingHash64("hello world")
