@@ -45,6 +45,17 @@ object SimQueries {
         .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
     }),
 
+    // batched ANN: 3 queries against the corpus in one pass, per-query
+    // top-k via salted two-phase ranking (no per-query single task)
+    "q_ann_batch" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteForceTopKBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("vec_id"), col("cos"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       Ann.cosineNearDups(
         embeddingsWithNearDups(s, dir), "vec_id", "embedding",
@@ -160,6 +171,22 @@ object SimQueries {
     // the doubles are bitwise identical.
     "q_ann_ivf" -> IvfSql,
     "q_ann_ivf_indexed" -> IvfSql,
+
+    "q_ann_batch" ->
+      """WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
+        |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT q.vec_id AS query_id, v.vec_id, CAST(sum(v.qe * q.qe) AS BIGINT) AS dot
+        |         FROM ex v JOIN ex q ON v.i = q.i AND q.vec_id IN (0, 1, 2)
+        |         WHERE v.vec_id <> q.vec_id GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dots.vec_id,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nq.n2 AS DOUBLE)) AS cos
+        |  FROM dots JOIN n2 nv ON nv.vec_id = dots.vec_id JOIN n2 nq ON nq.vec_id = dots.query_id)
+        |SELECT query_id, vec_id, cos, rk FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) r
+        |WHERE rk <= 5""".stripMargin,
 
     // connected components replayed via a recursive transitive closure —
     // feasible for the oracle because dup clusters are tiny; the engine

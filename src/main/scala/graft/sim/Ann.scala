@@ -76,6 +76,41 @@ object Ann {
     rankTopK(scored, idCol, k)
   }
 
+  /** Batch brute-force top-k: every query in `queries` (small, broadcast)
+    * scored against the full corpus, per-query top-k via SALTED two-phase
+    * ranking — local top-k inside (query, salt) groups bounds every
+    * window partition, then the final rank sees only salts×k rows per
+    * query. No single task ever receives a query's full candidate set
+    * (the scale flaw a naive partitionBy(query) window would have).
+    */
+  def bruteForceTopKBatch(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      salts: Int = 16
+  ): DataFrame = {
+    val scored = vectors
+      .join(broadcast(queries.select(col(qidCol).as("query_id"),
+        col(qvecCol).as("_qv"))))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosineQ(dotQ(col(vecCol), col("_qv")),
+          norm2Q(col(vecCol)), norm2Q(col("_qv"))).as("cos"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), pmod(col(idCol), lit(salts)))
+      .orderBy(col("cos").desc, col(idCol))
+    val local = scored.withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= k).drop("_r")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    local.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * an integer in [-1000, 1000] from a splitmix-style bit mix — no RNG
     * state, so every executor and every engine derives the same planes.
