@@ -30,6 +30,12 @@ object ChunkWriter {
 
   case class FlatPoint(series_flat: String, ts: Long, value: Option[Double])
 
+  /** Encoder-side row shape: null folded to the codec's NaN sentinel
+    * BEFORE deserialization, so the hot loop moves primitives (no
+    * Option[Double] allocation per point).
+    */
+  case class PrimPoint(series_flat: String, ts: Long, value: Double)
+
   /** Build chunks from a points table with columns
     * (series_flat string, ts long, value double-nullable).
     */
@@ -43,8 +49,8 @@ object ChunkWriter {
     import spark.implicits._
     val pts = points
       .select(col("series_flat"), col("ts").cast("long"),
-        col("value").cast("double"))
-      .as[FlatPoint]
+        coalesce(col("value").cast("double"), lit(Double.NaN)).as("value"))
+      .as[PrimPoint]
     val parts =
       if (numPartitions > 0) pts.repartition(numPartitions, col("series_flat"))
       else pts.repartition(col("series_flat"))
@@ -52,16 +58,16 @@ object ChunkWriter {
       .sortWithinPartitions(col("series_flat"), col("ts"))
       .mapPartitions { it =>
         new Iterator[FlatChunk] {
-          private var cur: Option[FlatPoint] = if (it.hasNext) Some(it.next()) else None
-          override def hasNext: Boolean = cur.isDefined
+          private var cur: PrimPoint = if (it.hasNext) it.next() else null
+          override def hasNext: Boolean = cur != null
           override def next(): FlatChunk = {
             val ts = new ArrayBuffer[Long](64)
             val vs = new ArrayBuffer[Double](64)
-            val key = cur.get.series_flat
-            while (cur.isDefined && cur.get.series_flat == key && ts.length < maxPoints) {
-              ts += cur.get.ts
-              vs += cur.get.value.getOrElse(Double.NaN)
-              cur = if (it.hasNext) Some(it.next()) else None
+            val key = cur.series_flat
+            while (cur != null && cur.series_flat == key && ts.length < maxPoints) {
+              ts += cur.ts
+              vs += cur.value
+              cur = if (it.hasNext) it.next() else null
             }
             val blob = Gorilla.encode(ts.toArray, vs.toArray)
             FlatChunk(key, tier, ts.head, ts.last, ts.length, blob,
