@@ -161,7 +161,8 @@ object Bench {
       "q_tier_1h", "q_interp", "q_owncalc", "q_dedupe_latest",
       "q_pages_tier15", "q_pages_1h", "q_pages_interp",
       "q_gorilla_roundtrip", "q1_pricing", "q_region_revenue",
-      "q_dedup_exact", "q_minhash_pairs", "q_token_stats", "q_ann_brute")
+      "q_dedup_exact", "q_minhash_pairs", "q_token_stats", "q_ann_brute",
+      "q_ann_batch", "q_ann_ivf_indexed", "q_index_read", "q_dup_clusters")
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
       try timed(name) { force(fn(spark, sfDir)) }
