@@ -100,6 +100,14 @@ object EventQueries {
       base(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))),
+    // the at-scale distinct variant: HLL++ sketch (mergeable, one pass, no
+    // exact-distinct shuffle of the key space). Deterministic for a fixed
+    // input (sketch merge is commutative) but not DuckDB-matchable ->
+    // rows-only driver check + TierSpec relative-error bound vs exact.
+    "q_distinct_users_approx" -> ((s, dir) =>
+      base(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))),
+
     "q_tier_1d" -> ((s, dir) =>
       chain(chain(tierAt(s, dir, 900).drop("mean_v"), 3600).drop("mean_v"), 86400)),
 

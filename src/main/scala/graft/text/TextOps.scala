@@ -139,6 +139,11 @@ object TextOps {
     * dup clusters are small and star-like, so a handful in practice (the
     * same convergence contract as the large-star/small-star CC algorithms
     * used at web scale).
+    *
+    * The returned frame is persisted (already materialized by the last
+    * convergence check); unpersisting here would force a full lineage
+    * recompute at consumption. Callers may `unpersist()` after use; idle
+    * cached labels are otherwise reclaimed by the ContextCleaner.
     */
   def dupClusters(
       docs: DataFrame,

@@ -23,6 +23,19 @@ class TierSpec extends AnyFunSuite {
     }.toDF("series", "ts", "v")
   }
 
+  test("approx_count_distinct (HLL++) stays within 5% of exact distinct") {
+    import org.apache.spark.sql.functions._
+    val got = points.groupBy("series")
+      .agg(countDistinct(col("ts")).as("exact"),
+        approx_count_distinct(col("ts"), 0.01).as("approx"))
+      .select("exact", "approx").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"HLL drifted: exact=$exact approx=$approx")
+    }
+  }
+
   test("hourly chained from 15min partials == hourly computed directly") {
     val t15 = TimeSeriesOps.tier(points, Seq("series"), "ts", "v", 900)
     val chained = TimeSeriesOps.chainTier(t15, Seq("series"), 3600)
