@@ -89,18 +89,33 @@ object Bench {
     val chunksPath = s"$benchRoot/chunks"
     var (nPoints, n15, n1h, n1d) = (0L, 0L, 0L, 0L)
 
+    // task-duration capture for the skew report (BASELINE.md protocol):
+    // all tasks completing inside the FINAL timed tier-0 stage
+    val taskMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var captureTasks = false
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (captureTasks && t.taskInfo != null)
+            taskMs.synchronized { taskMs += t.taskInfo.duration }
+      })
+
     // 2 warm iterations: C2 compilation of the generated code needs more
     // than one pass to reach steady state at high thread counts (measured:
     // iter1 27s, iter2 6.7s, iter3+ 3.2s for tier-0 at local[32])
     val iters = if (sys.env.contains("SPARK_GRAFT_NO_WARM")) 1 else 3
-    for (_ <- 1 to iters) {
+    for (iter <- 1 to iters) {
       nPoints = timed("stage_points_extract") {
         Pipeline.pointsFromPages(pages).count()
       }
       timed("stage_rollup_15min") {
+        captureTasks = iter == iters
+        taskMs.synchronized(taskMs.clear())
         Pipeline.tier15FromPages(pages) // one pass: both metrics as agg columns
           .write.mode("overwrite").parquet(t15Path)
       }
+      captureTasks = false
       n15 = spark.read.parquet(t15Path).count()
       timed("stage_rollup_1h") {
         TimeSeriesOps.chainTier(spark.read.parquet(t15Path), Seq("domain", "metric"), 3600)
@@ -155,6 +170,17 @@ object Bench {
     detail("pps_rollup_1h") = f"${n15 / times("stage_rollup_1h")}%.0f"
     detail("pps_rollup_1d") = f"${n1h / times("stage_rollup_1d")}%.0f"
     detail("pps_gorilla_encode") = f"${n15 / times("stage_gorilla_encode")}%.0f"
+
+    // task-time skew over the zipf-headed tier-0 stage (salting/partial-agg
+    // evidence: max/median should stay small even with d0 = 40% of traffic)
+    val durs = taskMs.synchronized(taskMs.toArray.sorted)
+    if (durs.nonEmpty) {
+      val median = durs(durs.length / 2).max(1L)
+      detail("tier0_tasks") = durs.length.toString
+      detail("tier0_task_median_ms") = median.toString
+      detail("tier0_task_max_ms") = durs.last.toString
+      detail("tier0_task_skew") = f"${durs.last.toDouble / median}%.2f"
+    }
 
     // ---- headline queries (forced materialization) ----------------------
     val headline = if (stagesOnly) Seq.empty[String] else Seq(
