@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decoded/feature-extracted in batched
   * partition-local passes.
   *
-  * The Spark-side plumbing is real (binary schema, batch iteration,
-  * deterministic output schema, partition locality); the DECODER ITSELF IS
-  * A STUB — this container has no image/audio codecs, so `decodeStub`
-  * derives deterministic fake features from the payload bytes. Swapping in
-  * a real decoder (libjpeg/ffmpeg via JNI, or `mapInPandas` + PIL on a
-  * PySpark cluster) changes only the function body, not the pipeline.
+  * Two codec tiers:
+  *  - REAL image path (`decodeImageMeta` / `resizeImage` and the
+  *    `imageFeatures` / `resizeImages` table ops): the JDK's built-in
+  *    `javax.imageio` decodes PNG/JPEG/GIF/BMP headers and pixels, resizes
+  *    with bilinear Graphics2D, re-encodes lossless PNG — no external
+  *    library, oracle-checked (`q_image_decode`, `q_image_resize`).
+  *  - STUB path (`decodeStub`/`resize`/`sampleFrames`) for modalities with
+  *    no in-JVM codec (audio/video/webp): deterministic fake features so
+  *    the partition-local batched plumbing stays testable; a real build
+  *    swaps the body for an ffmpeg-style call, not the pipeline.
   */
 object Multimodal {
 
@@ -79,6 +83,113 @@ object Multimodal {
         val outLen = math.max(1, (bytes.length * scale * scale).toInt)
         ResizedMedia(url, w, h, java.util.Arrays.copyOf(bytes, outLen))
       })
+  }
+
+  // -------------------------------------------------------------------
+  // REAL image codec path — the JDK ships javax.imageio (PNG/JPEG/GIF/BMP)
+  // so decode, bounding-box resize and re-encode need no external library.
+  // The stub path above remains for payloads with no in-JVM codec
+  // (audio/video/webp).
+  // -------------------------------------------------------------------
+
+  locally { // BufferedImage/Graphics2D without a display server
+    System.setProperty("java.awt.headless", "true")
+  }
+
+  /** Deterministic tiny PNG: `w`x`h`, pixel(x,y) seeded from
+    * (seed, x, y) — the fixture generator for the oracle-checked image
+    * queries AND the round-trip tests (PNG is lossless, pixels survive).
+    */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mix = seed * 6364136223846793005L + x * 9007199254740993L + y
+        img.setRGB(x, y, ((mix >>> 16) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL header-only decode: ImageIO reader reads dimensions + format
+    * from the stream header without decoding pixel data — the cheap
+    * metadata pass a crawl pipeline runs over every image. Returns None
+    * for payloads no installed codec recognizes (callers fall back to the
+    * stub or drop).
+    */
+  def decodeImageMeta(url: String, payload: Array[Byte]): Option[MediaMeta] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some(MediaMeta(url, payload.length.toLong,
+            r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** REAL bounding-box resize: full decode, bilinear Graphics2D scale,
+    * lossless PNG re-encode. None when the payload is not a decodable
+    * image.
+    */
+  def resizeImage(url: String, payload: Array[Byte], maxW: Int, maxH: Int)
+      : Option[ResizedMedia] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      val w = math.max(1, (img.getWidth * scale).toInt)
+      val h = math.max(1, (img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(ResizedMedia(url, w, h, bos.toByteArray))
+    }
+  }
+
+  /** Image metadata over a (url, binary) table with the REAL codec;
+    * undecodable payloads are dropped (flatMap). Same partition-local
+    * batched shape as the stub path.
+    */
+  def imageFeatures(media: DataFrame, urlCol: String, binCol: String): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (url, bytes) => decodeImageMeta(url, bytes) }
+      }
+  }
+
+  /** Bounding-box resize over a (url, binary) table with the REAL codec. */
+  def resizeImages(media: DataFrame, urlCol: String, binCol: String,
+      maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (url, bytes) => resizeImage(url, bytes, maxW, maxH) }
+      }
   }
 
   final case class Frame(url: String, frame_idx: Int, offset: Long,

@@ -41,6 +41,21 @@ object TextQueries {
   private def hits(dict: Seq[String]): String =
     s"len(list_filter($TOKS, x -> x IN (${dict.map("'" + _ + "'").mkString(", ")})))"
 
+  /** (url, png) fixture: one deterministic PNG per document with
+    * dimensions derived from doc_id — real image bytes whose header truth
+    * the oracle can recompute arithmetically.
+    */
+  private def imageFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (s"img://$id",
+          Multimodal.synthPng(id, 8 + (id % 25).toInt, 8 + (id % 17).toInt))
+      })
+      .toDF("url", "png")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedupe(docsWithDups(s, dir), "doc_id", "text")),
@@ -101,6 +116,23 @@ object TextQueries {
       Multimodal.extractFeatures(
         Pages.synthesize(s, dir).dropDuplicates("url"), "url", "html")
         .toDF()),
+
+    // REAL image decode: per-doc deterministic PNGs (w = 8 + doc_id % 25,
+    // h = 8 + doc_id % 17, seeded pixels) decoded by the JDK's ImageIO —
+    // the oracle predicts the true header dimensions from the same
+    // arithmetic, so a wrong decode cannot pass
+    "q_image_decode" -> ((s, dir) => {
+      Multimodal.imageFeatures(imageFixture(s, dir), "url", "png")
+        .toDF().select(col("url"), col("width"), col("height"), col("fmt"))
+    }),
+
+    // REAL bounding-box resize (bilinear + PNG re-encode) to 16x16:
+    // output dims follow floor(dim * min(1, 16/w, 16/h)) exactly
+    "q_image_resize" -> ((s, dir) => {
+      Multimodal.resizeImages(imageFixture(s, dir), "url", "png",
+          maxW = 16, maxH = 16)
+        .toDF().select(col("url"), col("width"), col("height"))
+    }),
 
     // Structured Streaming hourly rollup == batch hourly tier, through
     // the PRODUCTION sink: foreachBatch copy-on-write MERGE into a
@@ -184,6 +216,27 @@ object TextQueries {
          |  CASE (n_chars + 26) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
          |FROM $P p""".stripMargin
     },
+
+    // the engine decodes REAL PNG headers; the oracle recomputes the truth
+    // the fixture generator encoded
+    "q_image_decode" ->
+      """SELECT 'img://' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(8 + doc_id % 25 AS INT) AS width,
+        |  CAST(8 + doc_id % 17 AS INT) AS height,
+        |  'png' AS fmt
+        |FROM documents""".stripMargin,
+
+    // floor(dim * min(1, 16/w, 16/h)) — trunc() because DuckDB's
+    // double->int CAST rounds while the JVM's .toInt truncates
+    "q_image_resize" ->
+      """WITH dims AS (SELECT 'img://' || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(8 + doc_id % 25 AS INT) AS w, CAST(8 + doc_id % 17 AS INT) AS h
+        |  FROM documents),
+        |s AS (SELECT url, w, h, least(1.0, 16.0 / w, 16.0 / h) AS sc FROM dims)
+        |SELECT url,
+        |  greatest(1, CAST(trunc(w * sc) AS INT)) AS width,
+        |  greatest(1, CAST(trunc(h * sc) AS INT)) AS height
+        |FROM s""".stripMargin,
 
     "q_stream_1h" ->
       s"""SELECT event_type, (epoch_us(ts)//1000000)//3600*3600 AS bucket_ts,

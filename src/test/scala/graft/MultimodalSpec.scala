@@ -32,6 +32,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.values.forall(r => r.payload.length <= orig(r.url).length))
   }
 
+  test("REAL codec: PNG round-trips pixels exactly through synth -> decode") {
+    val png = Multimodal.synthPng(seed = 42L, w = 20, h = 10)
+    val meta = Multimodal.decodeImageMeta("u", png)
+    assert(meta.contains(Multimodal.MediaMeta("u", png.length.toLong, 20, 10, "png")))
+    // lossless: every pixel equals the generator's formula
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until 10; x <- 0 until 20) {
+      val mix = 42L * 6364136223846793005L + x * 9007199254740993L + y
+      assert((img.getRGB(x, y) & 0xffffff) == ((mix >>> 16) & 0xffffff).toInt)
+    }
+    // non-image payloads are rejected, not mangled
+    assert(Multimodal.decodeImageMeta("u", "not a png".getBytes).isEmpty)
+  }
+
+  test("REAL codec: bounding-box resize scales dims exactly and stays decodable") {
+    val png = Multimodal.synthPng(seed = 7L, w = 32, h = 16)
+    val r = Multimodal.resizeImage("u", png, maxW = 16, maxH = 16).get
+    assert(r.width == 16 && r.height == 8) // scale = 0.5
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    // no upscaling past the original
+    val small = Multimodal.resizeImage("u", Multimodal.synthPng(1L, 4, 4), 16, 16).get
+    assert(small.width == 4 && small.height == 4)
+  }
+
   test("frame sampling: strided fixed-size slices, bounded fan-out") {
     val frames = Multimodal.sampleFrames(media, "url", "payload",
       frameBytes = 256, stride = 2, maxFrames = 3).collect()
