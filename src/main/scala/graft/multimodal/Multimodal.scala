@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *    `javax.imageio` decodes PNG/JPEG/GIF/BMP headers and pixels, resizes
   *    with bilinear Graphics2D, re-encodes lossless PNG — no external
   *    library, oracle-checked (`q_image_decode`, `q_image_resize`).
+  *  - REAL audio path (`decodeAudio` / `audioFeatures`): the JDK's
+  *    `javax.sound.sampled` parses WAV/AIFF/AU containers and streams PCM
+  *    for exact integer energy features (`q_audio_decode`).
   *  - STUB path (`decodeStub`/`resize`/`sampleFrames`) for modalities with
-  *    no in-JVM codec (audio/video/webp): deterministic fake features so
+  *    no in-JVM codec (video/webp): deterministic fake features so
   *    the partition-local batched plumbing stays testable; a real build
   *    swaps the body for an ffmpeg-style call, not the pipeline.
   */
@@ -190,6 +193,82 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (url, bytes) => resizeImage(url, bytes, maxW, maxH) }
       }
+  }
+
+  // -------------------------------------------------------------------
+  // REAL audio codec path — the JDK ships javax.sound.sampled (WAV/AIFF/
+  // AU), so header decode AND PCM feature extraction need no external
+  // library either.
+  // -------------------------------------------------------------------
+
+  final case class AudioMeta(
+      url: String,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      energy: Long // sum of squared int16 samples — exact integer
+  )
+
+  /** Deterministic mono 16-bit PCM WAV: sample(i) = ((seed + i*31) mod
+    * 65536) - 32768 — small-multiplier arithmetic an SQL oracle can
+    * replay without 64-bit overflow.
+    */
+  def synthWav(seed: Long, nSamples: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((seed + i.toLong * 31) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode + feature extract: parse the container header via
+    * AudioSystem, stream the PCM frames, and compute the exact integer
+    * energy (sum of squared samples) — the kind of per-row DSP feature a
+    * training pipeline filters on. None for payloads no installed codec
+    * recognizes.
+    */
+  def decodeAudio(url: String, payload: Array[Byte]): Option[AudioMeta] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"unsupported PCM layout: $f")
+        val bytes = in.readAllBytes()
+        var energy = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+          energy += s * s
+          i += 2
+        }
+        Some(AudioMeta(url, payload.length.toLong,
+          f.getSampleRate.toInt, f.getChannels, in.getFrameLength, energy))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+    }
+
+  /** Audio metadata + energy over a (url, binary) table with the REAL
+    * codec; undecodable payloads are dropped.
+    */
+  def audioFeatures(media: DataFrame, urlCol: String, binCol: String): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, bytes) => decodeAudio(url, bytes) })
   }
 
   final case class Frame(url: String, frame_idx: Int, offset: Long,

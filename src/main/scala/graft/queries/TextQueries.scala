@@ -134,6 +134,22 @@ object TextQueries {
         .toDF().select(col("url"), col("width"), col("height"))
     }),
 
+    // REAL audio decode: per-doc deterministic WAVs parsed by the JDK's
+    // AudioSystem; header fields AND the exact PCM energy (sum of squared
+    // int16 samples) must match the oracle's arithmetic replay
+    "q_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (s"wav://$id", Multimodal.synthWav(id, 50 + (id % 100).toInt))
+        })
+        .toDF("url", "wav")
+      Multimodal.audioFeatures(wavs, "url", "wav")
+        .toDF().select(col("url"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("energy"))
+    }),
+
     // Structured Streaming hourly rollup == batch hourly tier, through
     // the PRODUCTION sink: foreachBatch copy-on-write MERGE into a
     // day-partitioned snapshot table (memory sink is test-harness-only)
@@ -237,6 +253,15 @@ object TextQueries {
         |  greatest(1, CAST(trunc(w * sc) AS INT)) AS width,
         |  greatest(1, CAST(trunc(h * sc) AS INT)) AS height
         |FROM s""".stripMargin,
+
+    "q_audio_decode" ->
+      """WITH docs AS (SELECT doc_id, 50 + doc_id % 100 AS n FROM documents),
+        |samples AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM docs),
+        |vals AS (SELECT doc_id, n, ((doc_id + i * 31) % 65536) - 32768 AS s FROM samples)
+        |SELECT 'wav://' || CAST(doc_id AS VARCHAR) AS url,
+        |  8000 AS sample_rate, 1 AS channels, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(sum(s * s) AS BIGINT) AS energy
+        |FROM vals GROUP BY doc_id, n""".stripMargin,
 
     "q_stream_1h" ->
       s"""SELECT event_type, (epoch_us(ts)//1000000)//3600*3600 AS bucket_ts,

@@ -57,6 +57,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(small.width == 4 && small.height == 4)
   }
 
+  test("REAL codec: WAV round-trips header fields and exact PCM energy") {
+    val wav = Multimodal.synthWav(seed = 5L, nSamples = 100)
+    val m = Multimodal.decodeAudio("u", wav).get
+    assert(m.sample_rate == 8000 && m.channels == 1 && m.n_frames == 100L)
+    val expected = (0 until 100).map { i =>
+      val s = ((5L + i * 31) % 65536) - 32768
+      s * s
+    }.sum
+    assert(m.energy == expected, s"energy ${m.energy} != $expected")
+    assert(Multimodal.decodeAudio("u", "not audio".getBytes).isEmpty)
+  }
+
   test("frame sampling: strided fixed-size slices, bounded fan-out") {
     val frames = Multimodal.sampleFrames(media, "url", "payload",
       frameBytes = 256, stride = 2, maxFrames = 3).collect()
