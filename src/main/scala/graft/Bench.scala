@@ -198,6 +198,13 @@ object Bench {
       }
     }
 
+    // totals split so rounds stay comparable when the headline-query SET
+    // grows: stage_total is the BASELINE.md end-to-end rollup metric
+    detail("stage_total_s") = f"${times.filter(_._1.startsWith("stage")).values.sum}%.2f"
+    detail("query_total_s") =
+      f"${times.filter(t => !t._1.startsWith("stage") && t._2 >= 0).values.sum}%.2f"
+    detail("n_headline_queries") = headline.length.toString
+
     val total = times.values.filter(_ >= 0).sum
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val ds = detail.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
