@@ -264,6 +264,14 @@ object EventQueries {
       rows.toDF("resource", "bytes", "sha256")
     }),
 
+    // singleindex wide export (one column per series), driver-gated: the
+    // guarded pivot renders the publication shape the reference's
+    // *_singleindex.csv carries
+    "q_singleindex_export" -> ((s, dir) =>
+      graft.output.OutputShapes.singleIndex(
+        tierAt(s, dir, 3600),
+        concat(col("event_type"), lit("_cents_sum")), "bucket_ts", "sum_cents")),
+
     // multiindex export round-trip: hourly tier -> 5-level-header wide CSV
     // file -> structural parse back to long. Proves the reference's
     // signature publication shape renders and re-reads value-exactly.
@@ -406,6 +414,16 @@ object EventQueries {
       """SELECT 'stacked' AS resource, CAST(size AS BIGINT) AS bytes,
         |  sha256(decode(content)) AS sha256
         |FROM read_blob('/root/repo/target/verify_tmp/dpkg/stacked/part-*.csv')""".stripMargin,
+
+    "q_singleindex_export" ->
+      s"""SELECT strftime(make_timestamp(bucket_ts * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS utc_timestamp,
+         |  strftime(timezone('Europe/Berlin', to_timestamp(bucket_ts)), '%Y-%m-%dT%H:%M:%S') AS cet_cest_timestamp,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN sum_cents END) AS BIGINT) AS click_cents_sum,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN sum_cents END) AS BIGINT) AS error_cents_sum,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN sum_cents END) AS BIGINT) AS purchase_cents_sum,
+         |  CAST(sum(CASE WHEN event_type = 'signup' THEN sum_cents END) AS BIGINT) AS signup_cents_sum,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN sum_cents END) AS BIGINT) AS view_cents_sum
+         |FROM ($T1H) h GROUP BY bucket_ts""".stripMargin,
 
     "q_multiindex_export" ->
       s"""SELECT event_type || '_cents_sum_events_cents' AS series,
