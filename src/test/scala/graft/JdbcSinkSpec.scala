@@ -37,10 +37,16 @@ class JdbcSinkSpec extends AnyFunSuite {
       "CREATE OR REPLACE TABLE tier_1h(" +
         "event_type VARCHAR, bucket_ts BIGINT, n BIGINT, sum_cents BIGINT)")
     finally conn.close()
-    tier.write.mode("append").jdbc(url, "tier_1h", props)
+    // single-partition write: duckdb_jdbc 1.0.0 occasionally loses a batch
+    // under concurrent same-process appends (observed flake), and its
+    // metadata sometimes reports BIGINT as decimal(20,0) — serialize the
+    // insert and normalize types on read-back; the distributed-write path
+    // is exercised against Derby in q_jdbc_roundtrip
+    tier.coalesce(1).write.mode("append").jdbc(url, "tier_1h", props)
 
     val back = spark.read.jdbc(url, "tier_1h", props)
-      .select("event_type", "bucket_ts", "n", "sum_cents")
+      .select(col("event_type"), col("bucket_ts").cast("long").as("bucket_ts"),
+        col("n").cast("long").as("n"), col("sum_cents").cast("long").as("sum_cents"))
     val orig = tier.select("event_type", "bucket_ts", "n", "sum_cents")
     assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
     assert(back.count() == orig.count() && back.count() > 0)
