@@ -14,6 +14,10 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcSink {
 
+  locally { // keep Derby's log out of the process cwd
+    System.setProperty("derby.stream.error.file", "target/derby.log")
+  }
+
   /** Overwrite-write `df` to `table` at `url`, read it back. */
   def roundTrip(
       df: DataFrame,
