@@ -138,6 +138,14 @@ object Bench {
           Seq("domain"), "bucket_ts", "mean_v", 8,
           concat(col("domain"), lit("_interp")), denseGridPeriod = Some(900L)))
       }
+      // same fill, fused plan (no densify join, one window sort)
+      timed("stage_gapfill_fused") {
+        force(GapFill.interpolateFused(
+          t15.filter(col("metric") === "text_chars")
+            .select(col("domain"), col("bucket_ts"), col("mean_v")),
+          Seq("domain"), "bucket_ts", "mean_v", 8,
+          concat(col("domain"), lit("_interp")), periodSec = 900L))
+      }
       timed("stage_gorilla_encode") {
         ChunkWriter.build(
           t15.select(concat_ws("_", col("domain"), col("metric")).as("series_flat"),

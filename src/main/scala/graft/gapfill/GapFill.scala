@@ -221,6 +221,62 @@ object GapFill {
         .drop("_run_id", "_run_pos", "_gap_len", "_do_fill")
   }
 
+  /** FUSED densify + linear interpolation: one ascending window pass over
+    * the OBSERVED rows (lead of the next observation), then each
+    * observation explodes into itself plus its trailing gap ticks with the
+    * interpolated (or null, when the run exceeds `maxGapPeriods`) value.
+    *
+    * Equivalent to `interpolate(densify(obs), …, denseGridPeriod=Some(p))`
+    * for grid-aligned, non-null observations (GapFillSpec asserts bitwise
+    * equality; `q_interp_fused` shares `q_interp`'s oracle) — but the plan
+    * is ONE shuffle + ONE partition-local sort + a Generate, instead of
+    * densify's span-agg + grid explode + join + two window sorts. At 100 TB
+    * this halves the gap-fill stage's sort work and removes the join.
+    *
+    * Interior-only semantics are inherited structurally: generated ticks
+    * exist only BETWEEN observations, so head/tail runs cannot occur.
+    */
+  def interpolateFused(
+      obs: DataFrame,
+      seriesCols: Seq[String],
+      epochCol: String,
+      valueCol: String,
+      maxGapPeriods: Int,
+      markerExpr: Column,
+      periodSec: Long
+  ): DataFrame = {
+    val ws = w(seriesCols, epochCol)
+    val base = obs
+      .select((seriesCols.map(col) :+ col(epochCol) :+ col(valueCol)): _*)
+      .withColumn("_nt", lead(col(epochCol), 1).over(ws))
+      .withColumn("_nv", lead(col(valueCol), 1).over(ws))
+      .withColumn("_gap",
+        when(col("_nt").isNotNull,
+          ((col("_nt") - col(epochCol)) / periodSec).cast("long") - 1)
+          .otherwise(lit(0L)))
+    val exploded = base
+      .withColumn("_k", explode(sequence(lit(0L), col("_gap"))))
+      .withColumn("_tick", col(epochCol) + col("_k") * periodSec)
+    val isObs = col("_k") === 0L
+    val doFill = !isObs && col("_gap") <= maxGapPeriods
+    // identical expression shape to the dense-grid path (prev = this obs,
+    // next = the led obs), so the doubles are bitwise equal
+    val interp = col(valueCol) +
+      (col("_nv") - col(valueCol)) * (col("_tick") - col(epochCol)).cast("double") /
+        (col("_nt") - col(epochCol)).cast("double")
+    val out = exploded
+      .withColumn("value_filled",
+        when(isObs, col(valueCol))
+          .when(doFill, interp)
+          .otherwise(lit(null).cast("double")))
+      .withColumn("markers",
+        when(doFill, array(markerExpr)).otherwise(array().cast("array<string>")))
+      .withColumn(valueCol, when(isObs, col(valueCol)))
+    out.select((seriesCols.map(col) :+
+      col("_tick").as(epochCol) :+ col(valueCol) :+
+      col("value_filled") :+ col("markers")): _*)
+  }
+
   /** NaN-run report (reference `find_nan` — A5): one row per null run per
     * series with start/end tick and length. Drives imputation QA.
     */

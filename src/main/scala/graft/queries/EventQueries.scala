@@ -140,6 +140,21 @@ object EventQueries {
           TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
     }),
 
+    // fused densify+interpolate (one window + Generate, no grid join) —
+    // must hash-match the same oracle as the two-step q_interp
+    "q_interp_fused" -> ((s, dir) => {
+      val hourly = tierAt(s, dir, 3600).select(
+        col("event_type"), col("bucket_ts"), col("sum_cents"))
+      GapFill.interpolateFused(hourly, Seq("event_type"), "bucket_ts",
+          "sum_cents", maxGapPeriods = 4,
+          markerExpr = concat(col("event_type"), lit("_interpolated")),
+          periodSec = 3600L)
+        .select(col("event_type"), col("bucket_ts"),
+          col("sum_cents").as("value"),
+          col("value_filled").cast("double").as("value_filled"),
+          TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
+    }),
+
     "q_gap_report" -> ((s, dir) =>
       GapFill.gapRuns(hourlyGrid(s, dir), Seq("event_type"), "bucket_ts",
         "sum_cents")),
@@ -327,6 +342,19 @@ object EventQueries {
         |FROM a2""".stripMargin),
 
     "q_interp" -> (GRID_ANN +
+      """SELECT event_type, bucket_ts, sum_cents AS value,
+        |  CASE WHEN sum_cents IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+        |            AND (next_rn - COALESCE(prev_rn, 0) - 1) <= 4
+        |       THEN prev_v + (next_v - prev_v) * CAST(bucket_ts - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)
+        |       ELSE CAST(sum_cents AS DOUBLE) END AS value_filled,
+        |  CASE WHEN sum_cents IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+        |            AND (next_rn - COALESCE(prev_rn, 0) - 1) <= 4
+        |       THEN event_type || '_interpolated' ELSE '' END AS marker
+        |FROM a2""".stripMargin),
+
+    // identical result contract to q_interp (the fused plan must not
+    // change a single bit)
+    "q_interp_fused" -> (GRID_ANN +
       """SELECT event_type, bucket_ts, sum_cents AS value,
         |  CASE WHEN sum_cents IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
         |            AND (next_rn - COALESCE(prev_rn, 0) - 1) <= 4

@@ -63,13 +63,15 @@ object PageQueries {
 
     // 15-min grid densify + linear interpolation on the score metric
     "q_pages_interp" -> ((s, dir) => {
+      // fused densify+interpolate (one window + Generate) — hash-matches
+      // the same oracle as the two-step plan it replaced (q_interp keeps
+      // the two-step path under oracle coverage on the events surface)
       val t = tier15(s, dir).filter(col("metric") === "score")
         .select(col("domain"), col("bucket_ts"), col("mean_v"))
-      val g = GapFill.densify(t, Seq("domain"), "bucket_ts", 900)
-      GapFill.interpolate(g, Seq("domain"), "bucket_ts", "mean_v",
+      GapFill.interpolateFused(t, Seq("domain"), "bucket_ts", "mean_v",
           maxGapPeriods = 8,
           markerExpr = concat(col("domain"), lit("_score_interpolated")),
-          denseGridPeriod = Some(900L))
+          periodSec = 900L)
         .select(col("domain"), col("bucket_ts"),
           col("mean_v").as("value"), col("value_filled"),
           TimeSeriesOps.renderMarkers(col("markers")).as("marker"))
@@ -131,11 +133,12 @@ object PageQueries {
         .filter(col("ts") >= from && col("ts") < until) // auto chunk prune
         .select(col("series_flat"), col("ts").as("bucket_ts"),
           col("value").as("mean_v"))
-      GapFill.interpolate(
-          GapFill.densify(pts, Seq("series_flat"), "bucket_ts", 900),
-          Seq("series_flat"), "bucket_ts", "mean_v", 8,
+      // fused densify+interpolate over the decoded points (all non-null:
+      // tier means are never NaN) — same oracle as the two-step plan
+      GapFill.interpolateFused(pts, Seq("series_flat"), "bucket_ts",
+          "mean_v", 8,
           concat(col("series_flat"), lit("_interpolated")),
-          denseGridPeriod = Some(900L))
+          periodSec = 900L)
         .select(col("series_flat"), col("bucket_ts"),
           col("mean_v").as("value"), col("value_filled"),
           TimeSeriesOps.renderMarkers(col("markers")).as("marker"))

@@ -140,6 +140,31 @@ class GapFillSpec extends AnyFunSuite {
     }
   }
 
+  test("fused densify+interpolate == densify then interpolate, on 40 seeded random series (property)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new java.util.Random(17)
+    val cols = Seq("series", "ts", "v", "value_filled", "markers").map(col)
+    (1 to 40).foreach { trial =>
+      // sparse OBSERVATIONS on a 900s grid: random subset of ticks, all non-null
+      val n = 2 + rnd.nextInt(12)
+      val ticks = scala.util.Random.javaRandomToRandom(rnd)
+        .shuffle((0 until 40).toList).take(n).sorted
+      val obs = ticks.map(t => ("s", t * 900L, (rnd.nextInt(4096) - 2048) / 256.0))
+        .toDF("series", "ts", "v")
+      val limit = 1 + rnd.nextInt(6)
+      val fused = GapFill.interpolateFused(obs, Seq("series"), "ts", "v",
+        limit, lit("m"), 900L)
+      val twoStep = GapFill.interpolate(
+          GapFill.densify(obs, Seq("series"), "ts", 900L),
+          Seq("series"), "ts", "v", limit, lit("m"), denseGridPeriod = Some(900L))
+        .select(cols: _*)
+      assert(fused.select(cols: _*).except(twoStep).isEmpty &&
+        twoStep.except(fused.select(cols: _*)).isEmpty &&
+        fused.count() == twoStep.count(),
+        s"trial $trial (n=$n limit=$limit) diverged")
+    }
+  }
+
   test("interpolation is idempotent (filling a filled frame changes nothing)") {
     val df = frame(Seq(Some(1.0), None, Some(3.0), None, None, None, None, Some(8.0)))
     val once = GapFill.interpolate(df, Seq("series"), "ts", "v",
