@@ -251,9 +251,15 @@ object GapFill {
       .withColumn("_nt", lead(col(epochCol), 1).over(ws))
       .withColumn("_nv", lead(col(valueCol), 1).over(ws))
       .withColumn("_gap",
-        when(col("_nt").isNotNull,
-          ((col("_nt") - col(epochCol)) / periodSec).cast("long") - 1)
-          .otherwise(lit(0L)))
+        // clamped at 0: a duplicate or off-grid next observation closer
+        // than one period would make the raw gap negative, and
+        // sequence(0, -1) fabricates a descending phantom tick whose
+        // interpolation divides by zero — clamping degrades such rows to
+        // plain observations instead of corrupting output
+        greatest(lit(0L),
+          when(col("_nt").isNotNull,
+            ((col("_nt") - col(epochCol)) / periodSec).cast("long") - 1)
+            .otherwise(lit(0L))))
     val exploded = base
       .withColumn("_k", explode(sequence(lit(0L), col("_gap"))))
       .withColumn("_tick", col(epochCol) + col("_k") * periodSec)

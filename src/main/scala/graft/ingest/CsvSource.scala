@@ -119,15 +119,27 @@ object CsvSource {
     *    (summer offset) — java.time's default resolution;
     *  - "latest": ambiguous wall times map to the SECOND occurrence.
     *
-    * Ambiguity is detected structurally: a wall time is ambiguous iff the
-    * instant one hour after its earliest mapping renders back to the same
-    * wall clock. Spring-gap times (nonexistent) resolve per java.time
-    * (shifted forward by the gap). Pure column expressions — no UDF.
+    * The fold width is DERIVED from the zone's own transition rules, not
+    * hardcoded: offset(t) falls by exactly the overlap across an autumn
+    * transition, so `offset(earliest) - offset(earliest + 12h)` yields the
+    * gap (3600 s for CET/CEST, 1800 s for half-hour zones like
+    * Australia/Lord_Howe; real folds are minutes-to-hours, never half a
+    * day, so the 12 h probe always lands beyond the transition and before
+    * any next one). Ambiguity is then detected structurally: a wall time
+    * is ambiguous iff the instant `fold` seconds after its earliest
+    * mapping renders back to the same wall clock. Spring-gap times
+    * (nonexistent) resolve per java.time (shifted forward by the gap).
+    * Pure column expressions — no UDF; timestamp->long casts read the
+    * internal epoch, so nothing depends on the session time zone.
     */
   def localizedUtc(local: Column, tz: String, ambiguous: String = "earliest"): Column = {
+    def offsetAt(t: Column): Column =
+      from_utc_timestamp(t, tz).cast("long") - t.cast("long")
     val earliest = to_utc_timestamp(local, tz)
-    val second = timestamp_seconds(unix_timestamp(earliest) + 3600L)
-    val isAmbiguous = from_utc_timestamp(second, tz) === local
+    val probe = timestamp_seconds(earliest.cast("long") + 43200L)
+    val fold = offsetAt(earliest) - offsetAt(probe)
+    val second = timestamp_seconds(earliest.cast("long") + fold)
+    val isAmbiguous = fold > 0 && from_utc_timestamp(second, tz) === local
     ambiguous match {
       case "earliest" => earliest
       case "latest"   => when(isAmbiguous, second).otherwise(earliest)

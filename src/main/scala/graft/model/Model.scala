@@ -17,18 +17,21 @@ package graft.model
 
 /** Identity of one time series — the engine's analog of the reference's
   * 6-level column MultiIndex (region, variable, attribute, source, web,
-  * unit). `web` is dropped (pure documentation in the reference); `domain`
-  * plays the role of `region` for web-page payloads.
+  * unit). `domain` plays the role of `region` for web-page payloads;
+  * `web` is pure documentation in the reference (the source's info URL) —
+  * carried for full header-shape parity but excluded from the flattened
+  * name, exactly like the reference's singleindex rendering.
   */
 case class SeriesKey(
     domain: String,
     metric: String,
     attribute: String,
     source: String,
+    web: String,
     unit: String
 ) {
   /** Flattened name, the reference's `'_'.join(header levels)` rendering
-    * (e.g. `DE_load_actual_entsoe_transparency`).
+    * (e.g. `DE_load_actual_entsoe_transparency`) — `web` excluded.
     */
   def flat: String = Seq(domain, metric, attribute, source, unit)
     .filter(_.nonEmpty).mkString("_")

@@ -244,18 +244,24 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       try {
         val f = in.getFormat
-        require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
-          s"unsupported PCM layout: $f")
-        val bytes = in.readAllBytes()
-        var energy = 0L
-        var i = 0
-        while (i + 1 < bytes.length) {
-          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
-          energy += s * s
-          i += 2
+        // decodable-but-different layouts (8/24-bit WAVs, big-endian AIFF,
+        // non-PCM encodings) are DROPPED like unrecognized containers —
+        // throwing here would fail the whole executor task for one payload
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val bytes = in.readAllBytes()
+          var energy = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+            energy += s * s
+            i += 2
+          }
+          Some(AudioMeta(url, payload.length.toLong,
+            f.getSampleRate.toInt, f.getChannels, in.getFrameLength, energy))
         }
-        Some(AudioMeta(url, payload.length.toLong,
-          f.getSampleRate.toInt, f.getChannels, in.getFrameLength, energy))
       } finally in.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None

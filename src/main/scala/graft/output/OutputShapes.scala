@@ -76,21 +76,66 @@ object OutputShapes {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
-  /** Level names of the multiindex header block, in row order. */
+  /** Level names of the multiindex header block, in row order — the
+    * reference's full 6-row region/variable/attribute/source/web/unit
+    * header (`domain` plays `region`).
+    */
   val MultiIndexLevels: Seq[String] =
+    Seq("domain", "metric", "attribute", "source", "web", "unit")
+
+  /** Levels participating in the flattened series name; `web` (the
+    * source's documentation URL) labels columns in the header block but
+    * never appears in flat names, matching the reference's singleindex
+    * rendering.
+    */
+  val FlatNameLevels: Seq[String] =
     Seq("domain", "metric", "attribute", "source", "unit")
+
+  /** CSV-escape one header cell (RFC 4180): null renders empty; cells
+    * containing the separator, a quote, or a newline are quoted with
+    * internal quotes doubled — so a `web` URL with commas cannot corrupt
+    * the header block.
+    */
+  private[output] def csvCell(s: String): String =
+    if (s == null) ""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** CSV-aware split of one header line (inverse of [[csvCell]] joining). */
+  private[output] def csvSplit(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQ = false
+        } else cur += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.result(); cur.clear()
+        case _   => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
 
   /** Multiindex export — the reference's signature publication shape: a
     * wide CSV whose header block carries one row per key level (the
-    * reference's 6-row region/variable/attribute/source/web/unit header;
-    * this engine's SeriesKey has 5 levels) labelling every data column,
-    * then a column-name row, then data rows.
+    * reference's 6-row region/variable/attribute/source/web/unit header)
+    * labelling every data column, then a column-name row, then data rows.
     *
     * `key` must be a struct with fields (domain, metric, attribute,
-    * source, unit). Returns the pivoted body (utc/cet timestamp columns
-    * first, series columns in sorted flat-name order) plus the rendered
-    * header lines. Guarded like singleIndex: this shape exists for
-    * human-scale publication, not the raw corpus.
+    * source, web, unit). Returns the pivoted body (utc/cet timestamp
+    * columns first, series columns in sorted flat-name order) plus the
+    * rendered header lines. Guarded like singleIndex: this shape exists
+    * for human-scale publication, not the raw corpus.
     */
   def multiIndex(
       tier: DataFrame,
@@ -100,7 +145,7 @@ object OutputShapes {
       maxSeries: Int = 10000
   ): (DataFrame, Seq[String]) = {
     val flat = array_join(
-      filter(array(MultiIndexLevels.map(l => key.getField(l)): _*),
+      filter(array(FlatNameLevels.map(l => key.getField(l)): _*),
         x => x.isNotNull && x =!= ""), "_")
     val named = tier.select(col(epochCol).as("_ts"), flat.as("_series"),
       key.as("_k"), col(valueCol).as("_v"))
@@ -120,8 +165,9 @@ object OutputShapes {
       .select((Seq(col("utc_timestamp"), col("cet_cest_timestamp")) ++
         flats.map(col)): _*)
     val headers = MultiIndexLevels.zipWithIndex.map { case (lvl, i) =>
-      (Seq(lvl, "") ++ keys.map(_.getString(i + 1))).mkString(",")
-    } :+ (Seq("utc_timestamp", "cet_cest_timestamp") ++ flats).mkString(",")
+      (Seq(lvl, "") ++ keys.map(k => csvCell(k.getString(i + 1)))).mkString(",")
+    } :+ (Seq("utc_timestamp", "cet_cest_timestamp") ++
+      flats.map(csvCell)).mkString(",")
     (body, headers)
   }
 
@@ -172,7 +218,7 @@ object OutputShapes {
         in.readLine()
       } finally in.close()
     }
-    val names = nameRow.split(",", -1).toSeq
+    val names = csvSplit(nameRow)
     val raw = spark.read.option("header", "false").csv(file)
       .toDF(names: _*)
       .filter(col(names.head).rlike("^\\d{4}-\\d{2}-\\d{2}T"))

@@ -287,14 +287,17 @@ object EventQueries {
         tierAt(s, dir, 3600),
         concat(col("event_type"), lit("_cents_sum")), "bucket_ts", "sum_cents")),
 
-    // multiindex export round-trip: hourly tier -> 5-level-header wide CSV
+    // multiindex export round-trip: hourly tier -> 6-level-header wide CSV
     // file -> structural parse back to long. Proves the reference's
-    // signature publication shape renders and re-reads value-exactly.
+    // signature publication shape (incl. the documentation-only `web`
+    // level, which labels columns but never joins flat names) renders and
+    // re-reads value-exactly.
     "q_multiindex_export" -> ((s, dir) => {
       val h = tierAt(s, dir, 3600)
       val key = struct(
         col("event_type").as("domain"), lit("cents").as("metric"),
         lit("sum").as("attribute"), lit("events").as("source"),
+        concat(lit("https://graft.example/docs/"), col("event_type")).as("web"),
         lit("cents").as("unit"))
       val (body, headers) = graft.output.OutputShapes.multiIndex(
         h, key, "bucket_ts", "sum_cents")

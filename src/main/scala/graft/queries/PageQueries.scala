@@ -50,6 +50,17 @@ object PageQueries {
   private def chain(df: DataFrame, period: Long): DataFrame =
     TimeSeriesOps.chainTier(df, Seq("domain", "metric"), period)
 
+  /** 15-min score tier as Gorilla chunks (series `<domain>_score`,
+    * maxPoints 96) — the store-build input of `q_index_read`, exposed so
+    * the bench can time index BUILD and READ separately.
+    */
+  def buildScoreChunks(s: SparkSession, dir: String, maxPoints: Int = 96) = {
+    val t = tier15(s, dir).filter(col("metric") === "score")
+      .select(concat(col("domain"), lit("_score")).as("series_flat"),
+        col("bucket_ts").as("ts"), col("mean_v").as("value"))
+    ChunkWriter.build(t, "15min", maxPoints = maxPoints)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pages_tier15" -> ((s, dir) => tier15(s, dir)),
     "q_pages_30min" -> ((s, dir) => chain(tier15(s, dir), 1800)),
@@ -150,12 +161,8 @@ object PageQueries {
     "q_index_read" -> ((s, dir) => {
       val from = Pages.T0Epoch + 1 * 86400L
       val until = Pages.T0Epoch + 4 * 86400L
-      val t = tier15(s, dir).filter(col("metric") === "score")
-        .select(concat(col("domain"), lit("_score")).as("series_flat"),
-          col("bucket_ts").as("ts"), col("mean_v").as("value"))
-      val chunks = ChunkWriter.build(t, "15min", maxPoints = 96)
       val store = "/root/repo/target/verify_tmp/chunk_store_idx"
-      ChunkWriter.writeIndexedStore(chunks, store, buckets = 16)
+      ChunkWriter.writeIndexedStore(buildScoreChunks(s, dir), store, buckets = 16)
       ChunkWriter.indexedRead(s, store,
           Seq("d7.example_score", "d42.example_score"), from, until)
         .select(col("series_flat"), col("ts"), col("value"))

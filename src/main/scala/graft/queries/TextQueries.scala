@@ -94,11 +94,20 @@ object TextQueries {
       TextOps.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
         k = 16, bands = 4, threshold = 0.5)),
 
-    // rows-only: SimHash Hamming-<=3 candidate pairs over the same corpus
-    "q_simhash_pairs" -> ((s, dir) =>
+    // SimHash Hamming-<=3 pairs. The 64-bit signature itself is not
+    // SQL-expressible (typed map, unit-tested), but the PAIRING stage is:
+    // the engine's signature table is written to parquet and the DuckDB
+    // oracle mirrors the 4x16-bit chunk blocking + popcount verification
+    // over those very signatures — a cross-engine check of the join logic.
+    "q_simhash_pairs" -> ((s, dir) => {
+      val sim = TextOps.simhashTable(docsWithNearDups(s, dir), "doc_id", "text")
+      sim.write.mode("overwrite")
+        .parquet("/root/repo/target/verify_tmp/simhash_tbl")
       TextOps.simhashNearDups(
-        TextOps.simhashTable(docsWithNearDups(s, dir), "doc_id", "text"),
-        "doc_id", maxDist = 3)),
+          s.read.parquet("/root/repo/target/verify_tmp/simhash_tbl"),
+          "doc_id", maxDist = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    }),
 
     // exact 3-gram Jaccard between each doc and its injected near-dup —
     // the verification kernel of the LSH pipeline, oracle-checked (the
@@ -210,6 +219,22 @@ object TextQueries {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    // pairing stage over the ENGINE-written signature table: DuckDB
+    // mirrors the 4x16-bit chunk blocking + XOR popcount verification, so
+    // the join/verify logic is cross-engine-checked even though the
+    // signature itself stays Scala
+    "q_simhash_pairs" ->
+      """WITH sim AS (SELECT doc_id, simhash
+        |  FROM read_parquet('/root/repo/target/verify_tmp/simhash_tbl/*.parquet')),
+        |ch AS (SELECT doc_id, simhash, c AS chunk_idx,
+        |    (simhash >> (c * 16)) & 65535 AS chunk_val
+        |  FROM sim, (SELECT UNNEST([0, 1, 2, 3]) AS c) t)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+        |WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tka,

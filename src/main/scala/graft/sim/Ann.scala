@@ -183,11 +183,20 @@ object Ann {
       .orderBy(col("_h"), col("_cell")).limit(nCentroids)
       .select("_cell", "_cv")
 
-  /** Nearest-centroid assignment: one broadcast nested-loop over a FIXED
-    * number of centroids (O(n·nCentroids) work, no shuffle of the corpus),
-    * argmin per vector via a window partitioned by the vector id. The
-    * resulting `cell` column is the storage/shuffle partition key at
-    * scale — see [[writeIvfIndex]].
+  /** Nearest-centroid assignment as a PURE PROJECTION: the FIXED-count
+    * centroid table is collected (bounded: nCentroids rows) into a
+    * constant-foldable literal array of (cell, cv, n2) structs, and each
+    * corpus row computes its own argmax with `transform` + `array_max`
+    * over a (cos, -cell) struct — the same (cos desc, cell asc)
+    * tie-break a rank window would apply, with ZERO joins, aggregations,
+    * shuffles or sorts (round-1 window argmin pushed 20x the corpus
+    * through one exchange+sort; round-2's `max_by` rewrite still planned
+    * as SortAggregate because struct agg buffers are not
+    * hash-aggregable). Centroid quantization/norms sit inside the
+    * foldable literal, so Catalyst folds them ONCE with the engine's own
+    * round semantics — bitwise-identical to the per-row path the oracle
+    * mirrors. The resulting `cell` column is the storage/shuffle
+    * partition key at scale — see [[writeIvfIndex]].
     */
   def ivfAssign(
       vectors: DataFrame,
@@ -195,15 +204,27 @@ object Ann {
       vecCol: String,
       cents: DataFrame
   ): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_cos").desc, col("_cell"))
-    vectors.join(broadcast(cents))
-      .select(col(idCol), col(vecCol), col("_cell"),
-        cosineQ(dotQ(col(vecCol), col("_cv")),
-          norm2Q(col(vecCol)), norm2Q(col("_cv"))).as("_cos"))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col(idCol), col(vecCol), col("_cell").as("cell"))
+    val centRows = cents.select(col("_cell"), col("_cv")).collect()
+    val elemT = cents.schema("_cv").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val centArr = array(centRows.map { r =>
+      val cvLit = elemT match {
+        case org.apache.spark.sql.types.FloatType  => typedLit(r.getSeq[Float](1))
+        case org.apache.spark.sql.types.DoubleType => typedLit(r.getSeq[Double](1))
+        case other => throw new IllegalArgumentException(
+          s"centroid vectors must be array<float|double>, got array<$other>")
+      }
+      struct(lit(r.getLong(0)).as("cell"), cvLit.as("cv"),
+        norm2Q(cvLit).as("n2"))
+    }.toIndexedSeq: _*)
+    val scored = transform(centArr, c => struct(
+      cosineQ(dotQ(col(vecCol), c.getField("cv")),
+        col("_n2v"), c.getField("n2")).as("c"),
+      (-c.getField("cell")).as("nc")))
+    vectors
+      .withColumn("_n2v", norm2Q(col(vecCol)))
+      .withColumn("cell", -array_max(scored).getField("nc"))
+      .select(col(idCol), col(vecCol), col("cell"))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to

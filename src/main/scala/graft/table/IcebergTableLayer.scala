@@ -14,10 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same snapshot/partition semantics locally and carries the oracle
   * coverage. Method-for-method mapping:
   *
-  *  - commit(added, removed)  -> append staged Parquet dirs via
-  *    `writeTo(table).append()` (one Iceberg snapshot) after deleting
-  *    replaced keys — Iceberg's optimistic-commit protocol supplies the
-  *    atomic CURRENT swap the manifest layer does with ATOMIC_MOVE.
+  *  - commit(added, removed)  -> ONE `writeTo(table).overwrite(cond)`
+  *    (Iceberg REPLACE WHERE): the union of all staged Parquet dirs
+  *    replaces every touched partition — removed-only keys match the
+  *    condition and contribute no rows, so they are deleted — in a SINGLE
+  *    Iceberg snapshot. Iceberg's optimistic-commit protocol supplies the
+  *    atomic CURRENT swap the manifest layer does with ATOMIC_MOVE; a
+  *    concurrent reader sees the whole commit or none of it.
   *  - currentPartitions()     -> the `<table>.partitions` metadata table
   *    (record_count / file_size; lineage lives in snapshot summary props).
   *  - dropPartitions(pred)    -> `DELETE FROM table WHERE <partition preds>`
@@ -46,16 +49,24 @@ class IcebergTableLayer(
     }.mkString(" AND ")
 
   override def commit(added: Seq[PartitionMeta], removedKeys: Seq[String]): Long = {
-    removedKeys.foreach(k =>
-      spark.sql(s"DELETE FROM $fq WHERE ${partitionKeySql(k)}"))
-    added.foreach { pm =>
-      val df = spark.read.parquet(pm.path)
-      val withKeys = pm.key.split("/").foldLeft(df) { (d, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        if (d.columns.contains(k)) d
-        else d.withColumn(k, org.apache.spark.sql.functions.lit(v))
-      }
-      withKeys.writeTo(fq).append()
+    val touchedKeys = (added.map(_.key) ++ removedKeys).distinct
+    if (touchedKeys.isEmpty) return currentSnapshotId()
+    val cond = touchedKeys
+      .map(k => s"(${partitionKeySql(k)})").mkString(" OR ")
+    if (added.isEmpty) {
+      // removals only: one DELETE with the OR'd predicate — one snapshot
+      spark.sql(s"DELETE FROM $fq WHERE $cond")
+    } else {
+      val staged = added.map { pm =>
+        val df = spark.read.parquet(pm.path)
+        pm.key.split("/").foldLeft(df) { (d, kv) =>
+          val Array(k, v) = kv.split("=", 2)
+          if (d.columns.contains(k)) d
+          else d.withColumn(k, org.apache.spark.sql.functions.lit(v))
+        }
+      }.reduce(_ unionByName _)
+      // delete-of-removed + replace-of-added in ONE atomic snapshot
+      staged.writeTo(fq).overwrite(org.apache.spark.sql.functions.expr(cond))
     }
     currentSnapshotId()
   }

@@ -87,6 +87,43 @@ class CsvSourceSpec extends AnyFunSuite {
       s"got ${ts.map(java.time.Instant.ofEpochSecond(_))}")
   }
 
+  /** Australia/Lord_Howe ends DST on 2024-04-07: 02:00 LHDT (+11:00) falls
+    * back to 01:30 LHST (+10:30) — a THIRTY-minute fold. Wall times
+    * 01:30–01:59 occur twice; the fold width must be derived from the
+    * zone's rules, not hardcoded to an hour.
+    */
+  private lazy val lordHoweCsvPath = {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "csv-lh-")
+    val f = dir.resolve("local.csv")
+    Files.writeString(f,
+      """timestamp;LH_load
+        |;actual
+        |2024-04-07 00:45:00;1,0
+        |2024-04-07 01:45:00;2,0
+        |2024-04-07 02:45:00;3,0
+        |""".stripMargin)
+    f.toString
+  }
+
+  test("half-hour-offset zone: the 30-minute fold is derived from ZoneRules, both policies") {
+    val earliest = CsvSource.readEuTimeSeries(spark, lordHoweCsvPath,
+        headerRows = 2, sourceTz = "Australia/Lord_Howe", ambiguous = "earliest")
+      .select(org.apache.spark.sql.functions.unix_timestamp($"ts"))
+      .as[Long].collect().sorted.toSeq
+    // 00:45 +11 = 13:45Z; ambiguous 01:45 earliest (+11) = 14:45Z;
+    // 02:45 +10:30 = 16:15Z
+    assert(earliest == Seq(1712411100L, 1712414700L, 1712420100L),
+      s"got ${earliest.map(java.time.Instant.ofEpochSecond(_))}")
+    val latest = CsvSource.readEuTimeSeries(spark, lordHoweCsvPath,
+        headerRows = 2, sourceTz = "Australia/Lord_Howe", ambiguous = "latest")
+      .select(org.apache.spark.sql.functions.unix_timestamp($"ts"))
+      .as[Long].collect().sorted.toSeq
+    // ambiguous 01:45 latest (+10:30) = 15:15Z — exactly 1800 s later,
+    // NOT 3600; unambiguous rows unchanged
+    assert(latest == Seq(1712411100L, 1712416500L, 1712420100L),
+      s"got ${latest.map(java.time.Instant.ofEpochSecond(_))}")
+  }
+
   test("CET/CEST local parsing: ambiguous=latest folds to the second occurrence") {
     val df = CsvSource.readEuTimeSeries(spark, dstCsvPath, headerRows = 2,
       sourceTz = "Europe/Berlin", ambiguous = "latest")

@@ -42,19 +42,25 @@ class OutputSpec extends AnyFunSuite {
     val key = struct(
       split(col("series_flat"), "_").getItem(0).as("domain"),
       lit("load").as("metric"), lit("actual").as("attribute"),
-      lit("test").as("source"), lit("MW").as("unit"))
+      lit("test").as("source"),
+      // comma in the web URL exercises the header-cell CSV escaping
+      concat(lit("https://example.org/docs?a=1,b="),
+        split(col("series_flat"), "_").getItem(0)).as("web"),
+      lit("MW").as("unit"))
     val (body, headers) = OutputShapes.multiIndex(tier, key, "ts", "v")
-    assert(headers.length == 6)
+    assert(headers.length == 7)
     assert(headers(0) == "domain,,a,b")
-    assert(headers(4) == "unit,,MW,MW")
-    assert(headers(5) ==
+    assert(headers(4) ==
+      "web,,\"https://example.org/docs?a=1,b=a\",\"https://example.org/docs?a=1,b=b\"")
+    assert(headers(5) == "unit,,MW,MW")
+    assert(headers(6) ==
       "utc_timestamp,cet_cest_timestamp,a_load_actual_test_MW,b_load_actual_test_MW")
     val file = "/root/repo/target/test_tmp/multiindex.csv"
     OutputShapes.writeMultiIndexCsv(body, headers, file)
     // golden checksum: the full file (header block + DST-aware body) is
     // byte-stable across runs and partitionings
     assert(Metadata.sha256OfFile(java.nio.file.Paths.get(file)) ==
-      "4cf72a0bf5a25ddb56ee90c8265c06a504227eaecbe6facfdce289690f53978d")
+      "8efb3081b9ffb8886db52e3f47a42adf78aa34ba9280c0bf8ecf38559f580baa")
     val back = OutputShapes.readMultiIndexCsv(spark, file)
       .select("series", "utc_timestamp", "value")
       .as[(String, String, String)].collect().toSet

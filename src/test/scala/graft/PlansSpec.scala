@@ -91,6 +91,53 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAssign is a pure projection: no Window, no Sort, no Exchange") {
+    import graft.sim.Ann
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val cents = Ann.ivfCentroids(emb, "vec_id", "embedding", 20)
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+    // logical: the argmax must not be a rank window
+    val windows = assigned.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"ivfAssign must not shuffle+sort nxnCentroids rows through a window:\n${assigned.queryExecution.optimizedPlan}")
+    // physical: the per-row argmax over the constant-folded centroid
+    // array needs no sort, no exchange, no join — scan + project only
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val plan = nodes(assigned.queryExecution.executedPlan)
+    assert(!plan.exists(_.isInstanceOf[SortExec]),
+      s"no sort expected in the assignment plan:\n${assigned.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[Exchange]),
+      s"no exchange expected in the assignment plan:\n${assigned.queryExecution.executedPlan}")
+    // the centroid literal is folded: exactly one constant array remains
+    val folded = assigned.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+        if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => l
+    })
+    assert(folded.nonEmpty,
+      s"centroid array should constant-fold:\n${assigned.queryExecution.optimizedPlan}")
+    // semantics unchanged vs the rank-window argmax it replaced
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("_cos").desc, col("_cell"))
+    val viaWindow = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("_cell"),
+        Ann.cosineQ(Ann.dotQ(col("embedding"), col("_cv")),
+          Ann.norm2Q(col("embedding")), Ann.norm2Q(col("_cv"))).as("_cos"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("vec_id"), col("_cell").as("cell"))
+    val viaAgg = assigned.select("vec_id", "cell")
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+    assert(viaAgg.count() == emb.count())
+  }
+
   test("indexedRead consults the delta index: skipped partitions are never listed") {
     import graft.chunk.ChunkWriter
     val store = "/root/repo/target/test_tmp/chunk_store"
