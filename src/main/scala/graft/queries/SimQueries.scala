@@ -18,11 +18,28 @@ object SimQueries {
         "vec_id", "embedding", queryId = 0L, k = 10)
         .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
 
-    "q_ann_lsh" -> ((s, dir) =>
-      Ann.lshTopK(
-        s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", queryId = 0L, k = 10, nPlanes = 8)
-        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
+    // LSH-bucketed ANN. The hyperplane bucket hash is not SQL-expressible
+    // (xxhash64 planes), but the CANDIDATE SELECTION + scoring + rank is:
+    // the engine's bucket table is written to parquet and the DuckDB
+    // oracle mirrors the multi-probe bucket join and exact scoring over
+    // those very buckets.
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val withBucket = emb.withColumn("_bucket",
+        Ann.lshBucket(col("embedding"), nPlanes = 8)).persist()
+      // bucket-table dump for the oracle, FROM the cache the query itself
+      // uses — the mirrored candidate selection sees identical buckets
+      withBucket.select(col("vec_id"), col("_bucket").as("bucket"))
+        .write.mode("overwrite")
+        .parquet("/root/repo/target/verify_tmp/lsh_buckets")
+      val res = Ann.lshTopKWith(withBucket,
+          "vec_id", "embedding", queryId = 0L, k = 10, nPlanes = 8)
+        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
+        .persist()
+      res.count()
+      withBucket.unpersist(false)
+      res
+    }),
 
     "q_ann_ivf" -> ((s, dir) =>
       Ann.ivfTopK(
@@ -148,6 +165,33 @@ object SimQueries {
       |WHERE rk <= 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // candidate selection from the ENGINE-written bucket table (multi-probe:
+    // the query's bucket plus each single-bit flip), exact quantized
+    // scoring + rank mirrored from q_ann_brute
+    "q_ann_lsh" ->
+      """WITH bk AS (SELECT vec_id, bucket
+        |  FROM read_parquet('/root/repo/target/verify_tmp/lsh_buckets/*.parquet')),
+        |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+        |probes AS (SELECT bucket FROM qb
+        |  UNION SELECT xor(qb.bucket, CAST(1 AS BIGINT) << j)
+        |  FROM qb, (SELECT UNNEST(generate_series(0, 7)) AS j) t),
+        |cand AS (SELECT vec_id FROM bk JOIN probes USING (bucket) WHERE vec_id <> 0),
+        |ex AS (SELECT vec_id, UNNEST(embedding) AS e, generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT i, CAST(round(e * 1048576.0) AS BIGINT) AS qe FROM ex WHERE vec_id = 0),
+        |v AS (SELECT vec_id, i, CAST(round(e * 1048576.0) AS BIGINT) AS ve
+        |      FROM ex WHERE vec_id IN (SELECT vec_id FROM cand)),
+        |dots AS (SELECT v.vec_id, CAST(sum(v.ve * q.qe) AS BIGINT) AS dot,
+        |                CAST(sum(v.ve * v.ve) AS BIGINT) AS n2v
+        |         FROM v JOIN q USING (i) GROUP BY 1),
+        |qn AS (SELECT CAST(sum(qe * qe) AS BIGINT) AS n2q FROM q),
+        |scored AS (SELECT vec_id,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(n2v AS DOUBLE)) / sqrt(CAST(n2q AS DOUBLE)) AS cos
+        |  FROM dots, qn)
+        |SELECT vec_id, cos, rk FROM (
+        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) r
+        |WHERE rk <= 10""".stripMargin,
+
     "q_ann_brute" ->
       """WITH ex AS (SELECT vec_id, UNNEST(embedding) AS e, generate_subscripts(embedding, 1) AS i FROM embeddings),
         |q AS (SELECT i, CAST(round(e * 1048576.0) AS BIGINT) AS qe FROM ex WHERE vec_id = 0),

@@ -88,11 +88,15 @@ object TextQueries {
         .join(TextOps.simhashTable(d, "doc_id", "text"), "doc_id")
     }),
 
-    // rows-only: MinHash+LSH near-dup pairs (expect the injected
-    // near-dups plus any naturally similar synthetic docs)
+    // MinHash+LSH near-dup pairs. The Carter-Wegman signature is not
+    // SQL-expressible (no xxhash64 in DuckDB), but everything DOWNSTREAM
+    // of it is: the engine's signature table is written to parquet and
+    // the oracle mirrors the banding self-join + exact shingle-Jaccard
+    // verification over those very signatures.
     "q_minhash_pairs" -> ((s, dir) =>
       TextOps.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
-        k = 16, bands = 4, threshold = 0.5)),
+        k = 16, bands = 4, threshold = 0.5,
+        sigSink = Some("/root/repo/target/verify_tmp/minhash_sigs"))),
 
     // SimHash Hamming-<=3 pairs. The 64-bit signature itself is not
     // SQL-expressible (typed map, unit-tested), but the PAIRING stage is:
@@ -219,6 +223,37 @@ object TextQueries {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    // banding + verification over the ENGINE-written signature table:
+    // DuckDB mirrors the per-band slice self-join (band equality on the
+    // raw signature slices — the engine's xxhash64 band key collides iff
+    // the slices are equal, modulo negligible 64-bit collisions) and the
+    // exact shingle-Jaccard verify against the same corpus
+    "q_minhash_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents UNION ALL
+        |           SELECT doc_id + 200000, text || ' graft trailer token'
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |sigs AS (SELECT doc, sig
+        |  FROM read_parquet('/root/repo/target/verify_tmp/minhash_sigs/*.parquet')),
+        |banded AS (SELECT doc, bi AS band_idx,
+        |    array_to_string(sig[bi*4+1:bi*4+4], ',') AS band_key
+        |  FROM sigs, (SELECT UNNEST([0, 1, 2, 3]) AS bi) t),
+        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |  WHERE a.doc < b.doc),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tk),
+        |j AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / len(list_distinct(sa.s || sb.s)) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+        |            JOIN sh sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
 
     // pairing stage over the ENGINE-written signature table: DuckDB
     // mirrors the 4x16-bit chunk blocking + XOR popcount verification, so

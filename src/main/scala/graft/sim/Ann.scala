@@ -130,6 +130,17 @@ object Ann {
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** LSH bucket table: (id, bucket) — the stored artifact of the LSH-ANN
+    * path; at scale the bucket is the storage/shuffle partition key.
+    */
+  def lshBuckets(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 8
+  ): DataFrame =
+    vectors.select(col(idCol), lshBucket(col(vecCol), nPlanes).as("bucket"))
+
   /** LSH-bucketed ANN: score only vectors sharing the query's bucket or
     * any bucket at Hamming distance 1 (multi-probe). Returns the same
     * schema as bruteForceTopK; recall < 1 by design.
@@ -141,8 +152,22 @@ object Ann {
       queryId: Long,
       k: Int,
       nPlanes: Int = 8
+  ): DataFrame =
+    lshTopKWith(
+      vectors.withColumn("_bucket", lshBucket(col(vecCol), nPlanes)),
+      idCol, vecCol, queryId, k, nPlanes)
+
+  /** [[lshTopK]] over a frame already carrying its `_bucket` column (e.g.
+    * joined back from a materialized [[lshBuckets]] table).
+    */
+  def lshTopKWith(
+      withBucket: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nPlanes: Int
   ): DataFrame = {
-    val withBucket = vectors.withColumn("_bucket", lshBucket(col(vecCol), nPlanes))
     val q = withBucket.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qv"), col("_bucket").as("_qb"))
     val probes = broadcast(q.select(
@@ -207,6 +232,20 @@ object Ann {
     val centRows = cents.select(col("_cell"), col("_cv")).collect()
     val elemT = cents.schema("_cv").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    ivfAssignRows(vectors, idCol, vecCol, centRows, elemT)
+  }
+
+  /** [[ivfAssign]] over already-collected centroid rows (`(_cell, _cv)`),
+    * so callers that also persist the centroid table pay the centroid
+    * job once.
+    */
+  private def ivfAssignRows(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centRows: Array[org.apache.spark.sql.Row],
+      elemT: org.apache.spark.sql.types.DataType
+  ): DataFrame = {
     val centArr = array(centRows.map { r =>
       val cvLit = elemT match {
         case org.apache.spark.sql.types.FloatType  => typedLit(r.getSeq[Float](1))
@@ -279,9 +318,19 @@ object Ann {
       path: String,
       nCentroids: Int
   ): Unit = {
+    // ONE centroid-selection job: the collected rows (bounded: nCentroids)
+    // feed both the centroid-table write (re-parallelized driver-side) and
+    // the assignment's literal array — previously the TakeOrdered scan ran
+    // once per consumer
     val cents = ivfCentroids(vectors, idCol, vecCol, nCentroids)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    ivfAssign(vectors, idCol, vecCol, cents)
+    val centRows = cents.collect()
+    val spark = vectors.sparkSession
+    spark.createDataFrame(
+        java.util.Arrays.asList(centRows: _*), cents.schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val elemT = cents.schema("_cv").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    ivfAssignRows(vectors, idCol, vecCol, centRows, elemT)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
