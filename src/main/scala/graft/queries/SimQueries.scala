@@ -73,6 +73,17 @@ object SimQueries {
           col("rk").cast("long").as("rk"))
     }),
 
+    // batched IVF: 3 queries probe their nProbe cells in ONE pass over
+    // the assigned corpus — the at-scale multi-tenant read shape
+    "q_ann_ivf_batch" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.ivfTopKBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
+          k = 5, nCentroids = 20, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), col("cos"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       Ann.cosineNearDups(
         embeddingsWithNearDups(s, dir), "vec_id", "embedding",
@@ -215,6 +226,41 @@ object SimQueries {
     // the doubles are bitwise identical.
     "q_ann_ivf" -> IvfSql,
     "q_ann_ivf_indexed" -> IvfSql,
+
+    // batched IVF: same assignment CTEs, per-query probes + per-query rank
+    "q_ann_ivf_batch" ->
+      """WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
+        |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |cents AS (SELECT vec_id AS cell FROM (
+        |  SELECT vec_id, ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings ORDER BY h, vec_id LIMIT 20) t),
+        |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+        |vc AS (SELECT v.vec_id, c.vec_id AS cell, CAST(sum(v.qe * c.qe) AS BIGINT) AS dot
+        |       FROM ex v JOIN ex c ON v.i = c.i JOIN cents ON c.vec_id = cents.cell GROUP BY 1, 2),
+        |vcc AS (SELECT vc.vec_id, cell,
+        |          CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos
+        |        FROM vc JOIN n2 nv ON nv.vec_id = vc.vec_id JOIN n2 nc ON nc.vec_id = vc.cell),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk
+        |  FROM vcc) WHERE rk = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS prk
+        |  FROM vcc WHERE vec_id IN (0, 1, 2)) WHERE prk <= 4),
+        |dots AS (SELECT q.vec_id AS query_id, v.vec_id, CAST(sum(v.qe * q.qe) AS BIGINT) AS dot
+        |         FROM ex v JOIN ex q ON v.i = q.i AND q.vec_id IN (0, 1, 2)
+        |         WHERE v.vec_id <> q.vec_id GROUP BY 1, 2),
+        |scored AS (SELECT dots.query_id, dots.vec_id,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nq.n2 AS DOUBLE)) AS cos
+        |  FROM dots
+        |  JOIN n2 nv ON nv.vec_id = dots.vec_id
+        |  JOIN n2 nq ON nq.vec_id = dots.query_id
+        |  JOIN assigned a ON a.vec_id = dots.vec_id
+        |  JOIN probes p ON p.query_id = dots.query_id AND p.cell = a.cell)
+        |SELECT query_id, vec_id, cos, rk FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) r
+        |WHERE rk <= 5""".stripMargin,
 
     "q_ann_batch" ->
       """WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,

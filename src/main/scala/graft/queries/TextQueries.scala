@@ -80,13 +80,13 @@ object TextQueries {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), md5(col("text")).as("fp_md5"))),
 
-    // rows-only: 64-bit rolling FNV + simhash per doc (no SQL oracle —
-    // covered by unit/property tests)
-    "q_fingerprint_rolling" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      TextOps.fingerprints(d, "doc_id", "text")
-        .join(TextOps.simhashTable(d, "doc_id", "text"), "doc_id")
-    }),
+    // md5 + 64-bit rolling FNV-1a per doc. The FNV loop is replayed by
+    // the oracle as a recursive CTE over per-character HUGEINT arithmetic
+    // (mod-2^64 wrap mirrored explicitly — DuckDB BIGINT multiply traps
+    // on overflow). simhash coverage lives in q_simhash_pairs.
+    "q_fingerprint_rolling" -> ((s, dir) =>
+      TextOps.fingerprints(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
     // MinHash+LSH near-dup pairs. The Carter-Wegman signature is not
     // SQL-expressible (no xxhash64 in DuckDB), but everything DOWNSTREAM
@@ -223,6 +223,36 @@ object TextQueries {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    // FNV-1a replayed character-by-character: h = (h XOR c) * p mod 2^64,
+    // signed-BIGINT wrap made explicit through HUGEINT (Java long
+    // arithmetic wraps silently; DuckDB BIGINT traps). Character access
+    // via unicode(substr(..)) equals Java's charAt for BMP text — the
+    // fixture is ASCII.
+    "q_fingerprint_rolling" ->
+      """WITH RECURSIVE fnv(doc_id, i, n, h) AS (
+        |  SELECT doc_id, 0, length(text), CAST(1469598103934665603 AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1, n,
+        |    CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+        |              ELSE m END AS BIGINT)
+        |  FROM (
+        |    SELECT doc_id, i, n,
+        |      ((CASE WHEN x < 0 THEN CAST(x AS HUGEINT) + 18446744073709551616
+        |             ELSE CAST(x AS HUGEINT) END) * 1099511628211)
+        |        % 18446744073709551616 AS m
+        |    FROM (
+        |      SELECT f.doc_id, f.i, f.n,
+        |        xor(f.h, unicode(substr(d.text, f.i + 1, 1))) AS x
+        |      FROM fnv f JOIN documents d USING (doc_id)
+        |      WHERE f.i < f.n
+        |    ) s1
+        |  ) s2
+        |)
+        |SELECT f.doc_id, md5(d.text) AS fp_md5, f.h AS fp_rolling
+        |FROM fnv f JOIN documents d USING (doc_id)
+        |WHERE f.i = f.n""".stripMargin,
 
     // banding + verification over the ENGINE-written signature table:
     // DuckDB mirrors the per-band slice self-join (band equality on the

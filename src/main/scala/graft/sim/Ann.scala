@@ -305,6 +305,57 @@ object Ann {
     rankTopK(scored, idCol, k)
   }
 
+  /** Batched IVF ANN: every query in `queries` (small, broadcast) probes
+    * its `nProbe` nearest cells and scores ONLY vectors assigned to those
+    * cells, with the per-query top-k derived by the same SALTED two-phase
+    * rank as [[bruteForceTopKBatch]]. The at-scale read shape: per-query
+    * work is bounded by its probe cells (not the corpus), the probe table
+    * is a tiny broadcast, and no single task ever sees a query's full
+    * candidate set.
+    */
+  def ivfTopKBatch(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nCentroids: Int = 20,
+      nProbe: Int = 4,
+      salts: Int = 16
+  ): DataFrame = {
+    val cents = ivfCentroids(vectors, idCol, vecCol, nCentroids)
+    val assigned = ivfAssign(vectors, idCol, vecCol, cents)
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"))
+    // probe cells per query: |queries| x nCentroids rows, ranked inside a
+    // per-query window bounded by nCentroids — never corpus-sized
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_pcos").desc, col("_cell"))
+    val probes = q.join(broadcast(cents))
+      .select(col("query_id"), col("_qv"), col("_cell"),
+        cosineQ(dotQ(col("_qv"), col("_cv")),
+          norm2Q(col("_qv")), norm2Q(col("_cv"))).as("_pcos"))
+      .withColumn("_prk", row_number().over(wq))
+      .filter(col("_prk") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell").as("cell"))
+    val scored = assigned
+      .join(broadcast(probes), "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosineQ(dotQ(col(vecCol), col("_qv")),
+          norm2Q(col(vecCol)), norm2Q(col("_qv"))).as("cos"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), pmod(col(idCol), lit(salts)))
+      .orderBy(col("cos").desc, col(idCol))
+    val local = scored.withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= k).drop("_r")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    local.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+  }
+
   /** Materialize the IVF index: the corpus written partitioned by `cell`
     * (probe reads prune to nProbe directories) plus the centroid table at
     * `<path>/centroids`. This is the cells-as-partition-key layout the

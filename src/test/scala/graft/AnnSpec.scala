@@ -88,6 +88,25 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("batched IVF == single-query IVF per query (same probes, same ranks)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val batch = Ann.ivfTopKBatch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
+        k = 5, nCentroids = 20, nProbe = 4)
+      .select("query_id", "vec_id", "cos", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val single = Seq(0L, 1L, 2L).flatMap { qid =>
+      Ann.ivfTopK(emb, "vec_id", "embedding", qid, k = 5,
+          nCentroids = 20, nProbe = 4)
+        .select("vec_id", "cos", "rk")
+        .as[(Long, Double, Int)].collect()
+        .map { case (v, c, r) => (qid, v, c, r) }
+    }.toSet
+    assert(batch == single)
+    assert(batch.size == 15)
+  }
+
   test("cosine near-dups: chunk blocking finds every pair differing in < nChunks components") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
