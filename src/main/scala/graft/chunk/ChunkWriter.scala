@@ -179,12 +179,18 @@ object ChunkWriter {
     * index's verdicts map 1:1 onto storage partitions.
     */
   def writeIndexedStore(chunks: Dataset[FlatChunk], path: String, buckets: Int): Unit = {
-    chunks.toDF()
-      .withColumn("part_id",
-        pmod(xxhash64(col("series_flat")), lit(buckets)).cast("int"))
-      .write.mode("overwrite").partitionBy("part_id").parquet(s"$path/chunks")
-    buildIndex(chunks, buckets).toDF()
-      .write.mode("overwrite").parquet(s"$path/index")
+    // pinned across the two writes: the chunk lineage (often a whole
+    // tier build) would otherwise execute once for the data files and
+    // again for the index
+    val pinned = chunks.persist()
+    try {
+      pinned.toDF()
+        .withColumn("part_id",
+          pmod(xxhash64(col("series_flat")), lit(buckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("part_id").parquet(s"$path/chunks")
+      buildIndex(pinned, buckets).toDF()
+        .write.mode("overwrite").parquet(s"$path/index")
+    } finally pinned.unpersist(false)
   }
 
   /** Index-driven read: the compact index alone decides which storage

@@ -21,7 +21,12 @@ export SPARK_GRAFT_BENCH_DAYS=$DAYS
 export SPARK_GRAFT_BENCH_DOMAINS=${DOMAINS:-9973}
 export SPARK_GRAFT_STAGES_ONLY=1
 export SPARK_GRAFT_SF_DIR=$SF
+FIRST=1
 for P in $LEVELS; do
+  # 60 s idle gap between levels: back-to-back JVMs interfere (page cache,
+  # frequency scaling) enough to move eff(2->8) by several points
+  [ "$FIRST" = 1 ] || sleep 60
+  FIRST=0
   echo "== local[$P]: $RUNS self-warming timed runs =="
   for i in $(seq "$RUNS"); do
     SPARK_GRAFT_CPUS=$P tools/run.sh graft.Bench 2>/dev/null | tail -1 > "$OUT/run_${P}_$i.json"
