@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GorillaExplode].getName, "gorilla_explode"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GorillaExplode(exprs)))
+    // ivf_best_cell(vec, cells, qcents, n2c): codegen'd nearest-centroid
+    // assignment (the IVF coarse quantizer's hot loop)
+    ext.injectFunction((
+      FunctionIdentifier("ivf_best_cell"),
+      new ExpressionInfo(classOf[CentroidArgMax].getName, "ivf_best_cell"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CentroidArgMax(exprs)))
     // post-hoc resolution (not optimizer): the rewrite needs the chunk
     // table's t0/t_max in the Generate child's output, which the
     // optimizer's ColumnPruning removes before extended optimizer rules

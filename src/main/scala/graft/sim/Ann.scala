@@ -238,6 +238,11 @@ object Ann {
   /** [[ivfAssign]] over already-collected centroid rows (`(_cell, _cv)`),
     * so callers that also persist the centroid table pay the centroid
     * job once.
+    *
+    * Centroid quantization + norms run through a bounded (nCentroids-row)
+    * Catalyst mini-query — the SAME `round` the per-row path and the
+    * oracle use, so both sides of every dot product agree bit-for-bit —
+    * then ride into `ivf_best_cell` as foldable literals.
     */
   private def ivfAssignRows(
       vectors: DataFrame,
@@ -246,23 +251,25 @@ object Ann {
       centRows: Array[org.apache.spark.sql.Row],
       elemT: org.apache.spark.sql.types.DataType
   ): DataFrame = {
-    val centArr = array(centRows.map { r =>
-      val cvLit = elemT match {
-        case org.apache.spark.sql.types.FloatType  => typedLit(r.getSeq[Float](1))
-        case org.apache.spark.sql.types.DoubleType => typedLit(r.getSeq[Double](1))
-        case other => throw new IllegalArgumentException(
-          s"centroid vectors must be array<float|double>, got array<$other>")
-      }
-      struct(lit(r.getLong(0)).as("cell"), cvLit.as("cv"),
-        norm2Q(cvLit).as("n2"))
-    }.toIndexedSeq: _*)
-    val scored = transform(centArr, c => struct(
-      cosineQ(dotQ(col(vecCol), c.getField("cv")),
-        col("_n2v"), c.getField("n2")).as("c"),
-      (-c.getField("cell")).as("nc")))
+    require(elemT == org.apache.spark.sql.types.FloatType ||
+      elemT == org.apache.spark.sql.types.DoubleType,
+      s"centroid vectors must be array<float|double>, got array<$elemT>")
+    val spark = vectors.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_cv",
+        org.apache.spark.sql.types.ArrayType(elemT), nullable = true)))
+    val qc = spark.createDataFrame(
+        java.util.Arrays.asList(centRows: _*), schema)
+      .select(col("_cell"), transform(col("_cv"), x => qint(x)).as("_qcv"),
+        norm2Q(col("_cv")).as("_n2"))
+      .collect()
     vectors
-      .withColumn("_n2v", norm2Q(col(vecCol)))
-      .withColumn("cell", -array_max(scored).getField("nc"))
+      .withColumn("cell", call_function("ivf_best_cell", col(vecCol),
+        typedLit(qc.map(_.getLong(0)).toSeq),
+        typedLit(qc.map(_.getSeq[Long](1)).toSeq),
+        typedLit(qc.map(_.getLong(2)).toSeq)))
       .select(col(idCol), col(vecCol), col("cell"))
   }
 
