@@ -193,6 +193,77 @@ object ChunkWriter {
     } finally pinned.unpersist(false)
   }
 
+  /** Compact a chunk store in place — the maintenance op a long-lived
+    * store needs: incremental/streaming writes (e.g. the foreachBatch
+    * MERGE sink) leave many under-filled chunks per series, and small
+    * chunks tax every read (more blobs, more CRCs, less delta locality).
+    *
+    * The decision is made from the INDEX alone: a partition is compacted
+    * iff its average chunk holds fewer than `minAvgPoints` points — the
+    * per-chunk point counts are already in the delta directory, so the
+    * verdict is computed distributed over index rows and only the
+    * affected part_ids (ints) reach the driver. Affected partitions are
+    * decoded, rebuilt into up-to-`maxPoints` chunks (the same canonical
+    * repartition+sort build as a fresh store — the result is identical to
+    * rebuilding from the original tier), and rewritten COPY-ON-WRITE via
+    * dynamic partition overwrite: untouched part_id directories are never
+    * listed, read, or rewritten. The index rows of exactly those
+    * partitions are then replaced (the kept rows are bounded by the
+    * bucket count, so the swap is driver-side and atomic-enough for the
+    * single-writer contract the store already assumes).
+    *
+    * Returns the compacted part_ids (empty = nothing to do).
+    */
+  def compactStore(
+      spark: SparkSession,
+      path: String,
+      buckets: Int,
+      maxPoints: Int,
+      minAvgPoints: Int
+  ): Seq[Int] = {
+    import spark.implicits._
+    val idx = spark.read.parquet(s"$path/index").as[PartitionIndex]
+    val affected = idx.filter { pi =>
+        var chunks = 0L
+        var points = 0L
+        decodeDirectory(pi.directory).foreach { e => chunks += 1; points += e.n }
+        chunks > 0 && points / chunks < minAvgPoints
+      }
+      .map(_.part_id).collect().toSeq.sorted
+    if (affected.isEmpty) return Seq.empty
+    val scan = spark.read.parquet(s"$path/chunks")
+      .filter(col("part_id").isin(affected: _*)) // partition pruning
+    val tiers = scan.select("tier").distinct().as[String].collect()
+    require(tiers.length == 1,
+      s"compactStore expects a single-tier store, found: ${tiers.mkString(",")}")
+    val rebuilt = build(
+      decode(scan.drop("part_id").as[FlatChunk]), tiers.head, maxPoints)
+      .persist() // feeds the data rewrite AND the index rebuild
+    try {
+      val prev =
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        rebuilt.toDF()
+          .withColumn("part_id",
+            pmod(xxhash64(col("series_flat")), lit(buckets)).cast("int"))
+          .write.mode("overwrite").partitionBy("part_id")
+          .parquet(s"$path/chunks")
+      } finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      // swap the affected index rows; kept rows are bounded (<= buckets x
+      // tiers), collected BEFORE the overwrite of the directory they come
+      // from
+      val keptRows = idx.toDF().filter(!col("part_id").isin(affected: _*))
+        .collect()
+      val keptDf = spark.createDataFrame(
+        java.util.Arrays.asList(keptRows: _*), idx.toDF().schema)
+      keptDf.unionByName(buildIndex(rebuilt, buckets).toDF())
+        .write.mode("overwrite").parquet(s"$path/index")
+    } finally rebuilt.unpersist(false)
+    affected
+  }
+
   /** Index-driven read: the compact index alone decides which storage
     * partitions can contain the requested (series, time-window) chunks —
     * the verdict is computed DISTRIBUTED over index rows and only the

@@ -168,6 +168,21 @@ object PageQueries {
         .select(col("series_flat"), col("ts"), col("value"))
     }),
 
+    // store maintenance: a deliberately fragmented chunk store (maxPoints
+    // 12 -> ~8x too many chunks) is compacted copy-on-write, then read
+    // back through the rebuilt index — the oracle sees the plain tier, so
+    // compaction proving content-invariance is the check
+    "q_compact_read" -> ((s, dir) => {
+      val store = "/root/repo/target/verify_tmp/chunk_store_compact"
+      ChunkWriter.writeIndexedStore(
+        buildScoreChunks(s, dir, maxPoints = 12), store, buckets = 16)
+      val compacted = ChunkWriter.compactStore(s, store, buckets = 16,
+        maxPoints = 96, minAvgPoints = 48)
+      require(compacted.nonEmpty, "fixture store must need compaction")
+      ChunkWriter.indexedRead(s, store, Seq.empty, Long.MinValue, Long.MaxValue)
+        .select(col("series_flat"), col("ts").as("bucket_ts"), col("value"))
+    }),
+
     // S2 CSV source, oracle-checked end-to-end: Spark parses a
     // deterministic EU-format CSV (decimal comma, dot thousands, 2 header
     // rows, n/a cells) via CsvSource; DuckDB reads the SAME file with its
@@ -268,6 +283,11 @@ object PageQueries {
          |FROM a2""".stripMargin,
 
     "q_gorilla_roundtrip" ->
+      s"""SELECT domain || '_score' AS series_flat, bucket_ts, mean_v AS value
+         |FROM ($T15) t WHERE metric = 'score'""".stripMargin,
+
+    // compaction must be content-invariant: the oracle is the tier itself
+    "q_compact_read" ->
       s"""SELECT domain || '_score' AS series_flat, bucket_ts, mean_v AS value
          |FROM ($T15) t WHERE metric = 'score'""".stripMargin,
 
