@@ -308,6 +308,30 @@ object EventQueries {
           col("value").cast("long").as("value"))
     }),
 
+    // as-of join: each event attaches the latest hourly rollup at or
+    // before its timestamp (<= 2h old) for its event_type — skew-safe
+    // (key, time-bucket)-partitioned windows + broadcast carry, oracle =
+    // DuckDB's native ASOF LEFT JOIN
+    "q_asof_tier" -> ((s, dir) => {
+      val hourly = tierAt(s, dir, 3600)
+        .select(col("event_type"), col("bucket_ts"), col("sum_cents"))
+      TimeSeriesOps.asofJoin(base(s, dir), hourly, Seq("event_type"),
+          "epoch_s", "bucket_ts", Seq("sum_cents"),
+          toleranceSec = 7200L, bucketSec = 21600L)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("epoch_s"), col("cents"), col("asof_ts"), col("asof_sum_cents"))
+    }),
+
+    // gap-based sessionization (30-min inactivity): per-user session
+    // stats — the session boundary and running session_seq are window
+    // expressions mirrored exactly by the oracle
+    "q_sessions" -> ((s, dir) =>
+      TimeSeriesOps.sessionize(base(s, dir), Seq("user_id"), "epoch_s",
+          "event_id", gapSec = 1800L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), min("epoch_s").as("t_start"),
+          max("epoch_s").as("t_end"), sum("cents").as("cents_sum"))),
+
     "q_owncalc" -> ((s, dir) =>
       base(s, dir)
         .groupBy(TimeSeriesOps.bucketStart(col("epoch_s"), 3600).as("bucket_ts"))
@@ -325,6 +349,32 @@ object EventQueries {
   // -------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN is the independent formulation of
+    // the engine's union+window as-of (tolerance applied post-join)
+    "q_asof_tier" ->
+      s"""SELECT e.event_type, e.user_id, e.event_id, e.epoch_s, e.cents,
+         |  CASE WHEN t.bucket_ts IS NOT NULL AND e.epoch_s - t.bucket_ts <= 7200
+         |       THEN t.bucket_ts END AS asof_ts,
+         |  CASE WHEN t.bucket_ts IS NOT NULL AND e.epoch_s - t.bucket_ts <= 7200
+         |       THEN t.sum_cents END AS asof_sum_cents
+         |FROM $EV e ASOF LEFT JOIN ($T1H) t
+         |  ON e.event_type = t.event_type AND e.epoch_s >= t.bucket_ts""".stripMargin,
+
+    "q_sessions" ->
+      s"""WITH s AS (SELECT user_id, event_id, epoch_s, cents,
+         |    lag(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev_ts
+         |  FROM $EV e),
+         |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_s - prev_ts > 1800
+         |                     THEN 1 ELSE 0 END AS new_sess FROM s),
+         |r AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY epoch_s, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM m)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(epoch_s) AS t_start, max(epoch_s) AS t_end,
+         |  CAST(sum(cents) AS BIGINT) AS cents_sum
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
     "q_tier_15min" -> meanSel(T15),
     "q_tier_30min" -> meanSel(
       s"SELECT event_type, bucket_ts//1800*1800 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +

@@ -64,6 +64,14 @@ object TextQueries {
       TextOps.tokenStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // deterministic 20% corpus sample by id-hash — same rows on every
+    // engine/run/partitioning (df.sample is not reproducible cross-engine)
+    "q_sample_hash" -> ((s, dir) =>
+      TextOps.sampleByHash(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          col("doc_id"), rate = 0.2)
+        .select(col("doc_id"), md5(col("text")).as("fp_md5"))),
+
     "q_quality" -> ((s, dir) =>
       TextOps.qualityStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -223,6 +231,12 @@ object TextQueries {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    // 0.2 * 2^32 = 858993459 (truncated); md5 hex agrees across engines
+    "q_sample_hash" ->
+      """SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      < 858993459""".stripMargin,
 
     // FNV-1a replayed character-by-character: h = (h XOR c) * p mod 2^64,
     // signed-BIGINT wrap made explicit through HUGEINT (Java long

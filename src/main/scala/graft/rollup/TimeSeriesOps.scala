@@ -149,6 +149,117 @@ object TimeSeriesOps {
       .drop("_lv", "_rv")
   }
 
+  /** As-of join: attach to each left row the LATEST right observation at
+    * or before its timestamp (ties include the observation) within
+    * `toleranceSec`, per key — "what was the last completed rollup when
+    * this event arrived". Appends `asof_ts` plus `asof_<v>` for every
+    * value column (all null when no in-tolerance observation exists).
+    *
+    * Spark-first, skew-safe shape: tag + union + ONE window pass
+    * partitioned by (key, TIME BUCKET) — never by the key alone, whose
+    * cardinality may be tiny (a 5-key corpus would serialize on 5 tasks).
+    * Cross-bucket carry-in is resolved on the per-(key, bucket) TAIL
+    * table (one row per bucket — thousands of rows, not billions), then
+    * broadcast back. Total cost: one shuffle+sort of |L|+|R| rows on
+    * (key, bucket) + a partial-agg pass — no inequality join (which
+    * Catalyst would plan as a nested-loop blow-up).
+    *
+    * Contract: right rows unique per (keys, ts), right values non-null.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      toleranceSec: Long,
+      bucketSec: Long = 86400L
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    val leftCols = left.columns.toSeq
+    val rSel = right.select(
+      (keyCols.map(col) :+ col(rightTsCol).cast("long").as("_ats")) ++
+        valueCols.map(v => col(v).as(s"_rv_$v")): _*)
+    val lAligned = valueCols.foldLeft(
+        left.withColumn("_ats", col(leftTsCol).cast("long"))
+          .withColumn("_is_l", lit(1))) { (d, v) =>
+        d.withColumn(s"_rv_$v", lit(null).cast(rSel.schema(s"_rv_$v").dataType))
+      }
+    val rAligned = leftCols.filterNot(keyCols.contains).foldLeft(
+        rSel.withColumn("_is_l", lit(0))) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val u = lAligned
+      .unionByName(rAligned.select(lAligned.columns.map(col).toIndexedSeq: _*))
+      .withColumn("_bkt", floor(col("_ats") / bucketSec).cast("long"))
+    // within-bucket running carry (right rows sort before left ties)
+    val wb = Window.partitionBy((keyCols :+ "_bkt").map(col): _*)
+      .orderBy(col("_ats"), col("_is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = valueCols.foldLeft(
+        u.withColumn("_in_ts",
+          last(when(col("_is_l") === 0, col("_ats")), ignoreNulls = true)
+            .over(wb))) { (d, v) =>
+        d.withColumn(s"_in_$v", last(col(s"_rv_$v"), ignoreNulls = true).over(wb))
+      }
+    // per-(key, bucket) tails of the right side, over ALL buckets present
+    val tails = u.groupBy((keyCols :+ "_bkt").map(col): _*)
+      .agg(
+        max(when(col("_is_l") === 0, col("_ats"))).as("_t_last"),
+        valueCols.map(v =>
+          max_by(col(s"_rv_$v"), when(col("_is_l") === 0, col("_ats")))
+            .as(s"_v_$v")): _*)
+    // carry-in = latest tail of any STRICTLY EARLIER bucket (tiny frame:
+    // one row per key x bucket)
+    val wc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = valueCols.foldLeft(
+        tails.withColumn("_c_ts", last(col("_t_last"), ignoreNulls = true).over(wc))) {
+        (d, v) => d.withColumn(s"_c_$v", last(col(s"_v_$v"), ignoreNulls = true).over(wc))
+      }
+      .select((keyCols :+ "_bkt").map(col) ++
+        (col("_c_ts") +: valueCols.map(v => col(s"_c_$v"))): _*)
+    val joined = inBucket.filter(col("_is_l") === 1)
+      .join(broadcast(carry), keyCols :+ "_bkt", "left")
+    val asofTs = coalesce(col("_in_ts"), col("_c_ts"))
+    val inTol = asofTs.isNotNull && (col("_ats") - asofTs) <= toleranceSec
+    val out = valueCols.foldLeft(
+        joined.withColumn("asof_ts", when(inTol, asofTs))) { (d, v) =>
+        d.withColumn(s"asof_$v",
+          when(inTol, when(col("_in_ts").isNotNull, col(s"_in_$v"))
+            .otherwise(col(s"_c_$v"))))
+      }
+    out.select((leftCols.map(col) :+ col("asof_ts")) ++
+      valueCols.map(v => col(s"asof_$v")): _*)
+  }
+
+  /** Gap-based sessionization: per key, a new session starts when the gap
+    * to the previous event exceeds `gapSec`; emits `session_seq`
+    * (1-based per key, in (ts, tiebreak) order). One window pass
+    * partitioned by the key — keys are high-cardinality entities (users),
+    * so the partitions are small and many; the lag and the running sum
+    * share one sort.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tiebreakCol: String,
+      gapSec: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_sess",
+        (col("_prev_ts").isNull ||
+          (col(tsCol) - col("_prev_ts")) > gapSec).cast("long"))
+      .withColumn("session_seq", sum(col("_new_sess")).over(wRun))
+      .drop("_prev_ts", "_new_sess")
+  }
+
   /** Lead/trail trim (reference drops all-NaN head/tail rows — P4):
     * per series, the first/last non-null timestamp and non-null count.
     */

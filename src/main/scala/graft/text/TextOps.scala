@@ -370,6 +370,19 @@ object TextOps {
     h
   }
 
+  /** Deterministic hash sampling: keep a row iff the first 32 bits of
+    * md5(key) fall under `rate` — the reproducible corpus-subset op every
+    * training pipeline needs (same rows on every engine/run/partitioning,
+    * unlike `df.sample`), composable by id-range, and cheap (one hash per
+    * row, no shuffle, fully pushed into the scan's filter).
+    */
+  def sampleByHash(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    val threshold = (rate * 4294967296.0).toLong
+    df.filter(
+      conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        < threshold)
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

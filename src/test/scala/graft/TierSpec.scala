@@ -97,4 +97,37 @@ class TierSpec extends AnyFunSuite {
       (0L, Some(1.0), false), (1L, Some(20.0), true),
       (2L, Some(3.0), false), (3L, Some(40.0), true)))
   }
+
+  test("asofJoin: same-bucket tie, cross-empty-bucket carry, tolerance cutoff") {
+    val left = Seq(
+      ("k", 100L, "in_bucket"),     // obs 90 in same bucket
+      ("k", 4000L, "tie"),          // obs exactly AT ts -> visible
+      ("k", 5000L, "carried"),      // bucket 5; last obs in bucket 4 -> carry
+      ("k", 99000L, "too_old"),     // gap 95000 > tolerance -> nulls
+      ("x", 50L, "no_obs")          // key with no observations at all
+    ).toDF("key", "ts", "tag")
+    val right = Seq(("k", 90L, 1.0), ("k", 4000L, 2.0)).toDF("key", "rts", "v")
+    val got = TimeSeriesOps.asofJoin(left, right, Seq("key"), "ts", "rts",
+        Seq("v"), toleranceSec = 10000L, bucketSec = 1000L)
+      .select("tag", "asof_ts", "asof_v")
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      ("in_bucket", Some(90L), Some(1.0)),
+      ("tie", Some(4000L), Some(2.0)),
+      ("carried", Some(4000L), Some(2.0)),
+      ("too_old", None, None),
+      ("no_obs", None, None)))
+  }
+
+  test("sessionize: 1-based per-key session_seq splits on gap > gapSec") {
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 1000L, 11L), (1L, 5000L, 12L), // gap 4000 > 1800
+      (2L, 0L, 20L)
+    ).toDF("user_id", "epoch_s", "event_id")
+    val got = TimeSeriesOps.sessionize(ev, Seq("user_id"), "epoch_s",
+        "event_id", gapSec = 1800L)
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L)))
+  }
 }
