@@ -322,6 +322,18 @@ object EventQueries {
           col("epoch_s"), col("cents"), col("asof_ts"), col("asof_sum_cents"))
     }),
 
+    // trailing 24h rolling aggregate over the hourly tier (RANGE window:
+    // missing buckets shorten the trailing set, never stretch it)
+    "q_rolling_24h" -> ((s, dir) =>
+      TimeSeriesOps.rollingWindow(
+          tierAt(s, dir, 3600).select(col("event_type"), col("bucket_ts"),
+            col("sum_cents")),
+          Seq("event_type"), "bucket_ts", "sum_cents", windowSec = 86400L)
+        .select(col("event_type"), col("bucket_ts"),
+          col("roll_n"), col("roll_sum").cast("long").as("roll_sum"),
+          (col("roll_sum").cast("double") / col("roll_n") / lit(100.0))
+            .as("roll_mean"))),
+
     // gap-based sessionization (30-min inactivity): per-user session
     // stats — the session boundary and running session_seq are window
     // expressions mirrored exactly by the oracle
@@ -359,6 +371,16 @@ object EventQueries {
          |       THEN t.sum_cents END AS asof_sum_cents
          |FROM $EV e ASOF LEFT JOIN ($T1H) t
          |  ON e.event_type = t.event_type AND e.epoch_s >= t.bucket_ts""".stripMargin,
+
+    "q_rolling_24h" ->
+      s"""SELECT event_type, bucket_ts,
+         |  count(sum_cents) OVER w AS roll_n,
+         |  CAST(sum(sum_cents) OVER w AS BIGINT) AS roll_sum,
+         |  CAST(sum(sum_cents) OVER w AS DOUBLE)
+         |    / count(sum_cents) OVER w / 100.0 AS roll_mean
+         |FROM ($T1H) h
+         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+         |  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_sessions" ->
       s"""WITH s AS (SELECT user_id, event_id, epoch_s, cents,

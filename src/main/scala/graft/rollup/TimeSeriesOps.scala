@@ -235,6 +235,28 @@ object TimeSeriesOps {
       valueCols.map(v => col(s"asof_$v")): _*)
   }
 
+  /** Trailing rolling aggregate over a TIME RANGE (not a row count): for
+    * each tier row, count/sum/mean of `valueCol` over
+    * [ts - windowSec + 1, ts] within its series — a RANGE window, so
+    * missing buckets shorten the trailing set instead of silently
+    * stretching it. Runs over TIER rows (bounded: one row per bucket per
+    * series), so per-series window partitions stay small even at raw-data
+    * scales where per-key windows over events would skew.
+    */
+  def rollingWindow(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      epochCol: String,
+      valueCol: String,
+      windowSec: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(epochCol).cast("long"))
+      .rangeBetween(-(windowSec - 1), Window.currentRow)
+    df.withColumn("roll_n", count(col(valueCol)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+  }
+
   /** Gap-based sessionization: per key, a new session starts when the gap
     * to the previous event exceeds `gapSec`; emits `session_seq`
     * (1-based per key, in (ts, tiebreak) order). One window pass
