@@ -64,6 +64,27 @@ object TextQueries {
       TextOps.tokenStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // PII scrub over docs with injected deterministic PII (the fixture
+    // has none): per-doc hit counts + md5 of the redacted text — a wrong
+    // replacement anywhere changes the hash
+    "q_pii_redact" -> ((s, dir) => {
+      val withPii = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@example.com or +4917012"),
+            col("doc_id"), lit(" at 10.0."), col("doc_id") % 256, lit("."),
+            col("doc_id") % 254).as("text"))
+      TextOps.piiStats(withPii, "doc_id", "text")
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          md5(col("redacted")).as("redacted_md5"))
+    }),
+
+    // duplicate-shingle repetition signal (C4/Gopher-style boilerplate
+    // filter) over the raw corpus
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3)),
+
     // deterministic 20% corpus sample by id-hash — same rows on every
     // engine/run/partitioning (df.sample is not reproducible cross-engine)
     "q_sample_hash" -> ((s, dir) =>
@@ -231,6 +252,34 @@ object TextQueries {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    "q_pii_redact" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +4917012'
+         |      || CAST(doc_id AS VARCHAR) || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST(doc_id % 254 AS VARCHAR) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Re}')) AS INT) AS n_ip,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS INT) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM w""".stripMargin,
+
+    "q_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+        |  FROM tk)
+        |SELECT doc_id, CAST(len(s) AS INT) AS n_shingles,
+        |  CAST(len(list_distinct(s)) AS INT) AS n_uniq,
+        |  1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) AS dup_ratio
+        |FROM sh""".stripMargin,
 
     // 0.2 * 2^32 = 858993459 (truncated); md5 hex agrees across engines
     "q_sample_hash" ->

@@ -356,6 +356,54 @@ object TextOps {
       (charsNoSpace.cast("double") / nTok).as("mean_token_len"))
   }
 
+  // -------------------------------------------------------------------
+  // PII redaction + repetition (training-data hygiene; pure column
+  // expressions with java.regex/RE2-portable constructs — no lookaround)
+  // -------------------------------------------------------------------
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{7,15}" // E.164-ish; the + anchor avoids false hits
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Typed-placeholder PII scrub — the compliance stage every
+    * training-data pipeline runs before tokenization. Order matters:
+    * emails first (they contain dots and digits), then IPs, then phones.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-doc PII hit counts (pre-redaction) + redacted text. */
+  def piiStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).as("n_ip"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).as("n_phone"),
+      redactPii(col(textCol)).as("redacted"))
+
+  /** Duplicate-shingle repetition signal (the C4/Gopher-style quality
+    * filter): fraction of word n-grams that are repeats of an earlier
+    * n-gram in the same doc. High values flag boilerplate/spam.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = shingles(col(textCol), n)
+    docs.select(
+      col(idCol),
+      size(sh).as("n_shingles"),
+      size(array_distinct(sh)).as("n_uniq"),
+      (lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+        .as("dup_ratio"))
+  }
+
   /** Content fingerprints: md5 (oracle-checkable) plus a 64-bit rolling
     * polynomial hash over the UTF-8 bytes (engine-native, used for
     * cheap page-revision change detection at crawl scale).
