@@ -212,6 +212,17 @@ object Bench {
       val from = graft.ingest.Pages.T0Epoch + 86400L
       val until = graft.ingest.Pages.T0Epoch + 4 * 86400L
       readOnly = Map(
+        // the SparkEntry variant also dumps the signature table for the
+        // DuckDB oracle; the bench times the pure pipeline
+        "q_minhash_pairs" -> ((s, dir) => {
+          val d0 = s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")
+          val d = d0.union(d0.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              concat(col("text"), lit(" graft trailer token")).as("text")))
+          graft.text.TextOps.minhashNearDups(d, "doc_id", "text",
+            k = 16, bands = 4, threshold = 0.5)
+        }),
         "q_index_read" -> ((s, _) =>
           ChunkWriter.indexedRead(s, idxStore,
               Seq("d7.example_score", "d42.example_score"), from, until)

@@ -156,6 +156,14 @@ object OutputShapes {
     require(keys.length <= maxSeries,
       s"multiindex export over ${keys.length} series (> $maxSeries); use stacked")
     val flats = keys.map(_.getString(0)).toSeq
+    // `web` labels columns but is excluded from flat names, so two keys
+    // differing ONLY in web would collapse to one flat name — the pivot
+    // would emit duplicate columns and the header block would go wider
+    // than the body. Fail loudly instead of corrupting the export.
+    require(flats.distinct.length == flats.length, {
+      val dups = flats.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+      s"duplicate flat series names (keys differing only in 'web'?): ${dups.mkString(", ")}"
+    })
     val body = named.groupBy(col("_ts"))
       .pivot("_series", flats)
       .agg(first(col("_v")))

@@ -38,7 +38,9 @@ case class CentroidArgMax(children: Seq[Expression]) extends Expression {
 
   private def vecExpr = children.head
 
-  override def nullable: Boolean = vecExpr.nullable
+  // robust pre-type-check: an arity-0 call must reach checkInputDataTypes'
+  // clear failure, not die in nullable/dataType resolution
+  override def nullable: Boolean = children.headOption.forall(_.nullable)
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -76,6 +78,9 @@ case class CentroidArgMax(children: Seq[Expression]) extends Expression {
 
   /** Nearest cell id for one vector (public: called from generated code). */
   def bestCell(vec: ArrayData): Long = {
+    if (qcents.isEmpty)
+      throw new IllegalStateException(
+        "ivf_best_cell: empty centroid table (corpus had no vectors?)")
     val n = vec.numElements()
     val q = new Array[Long](n)
     var n2v = 0L

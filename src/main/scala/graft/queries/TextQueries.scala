@@ -294,7 +294,8 @@ object TextQueries {
     // fixture is ASCII.
     "q_fingerprint_rolling" ->
       """WITH RECURSIVE fnv(doc_id, i, n, h) AS (
-        |  SELECT doc_id, 0, length(text), CAST(1469598103934665603 AS BIGINT)
+        |  SELECT doc_id, 0, length(text),
+        |    CAST(-3750763034362895579 AS BIGINT) -- 0xcbf29ce484222325 signed
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id, i + 1, n,

@@ -130,17 +130,6 @@ object Ann {
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH bucket table: (id, bucket) — the stored artifact of the LSH-ANN
-    * path; at scale the bucket is the storage/shuffle partition key.
-    */
-  def lshBuckets(
-      vectors: DataFrame,
-      idCol: String,
-      vecCol: String,
-      nPlanes: Int = 8
-  ): DataFrame =
-    vectors.select(col(idCol), lshBucket(col(vecCol), nPlanes).as("bucket"))
-
   /** LSH-bucketed ANN: score only vectors sharing the query's bucket or
     * any bucket at Hamming distance 1 (multi-probe). Returns the same
     * schema as bruteForceTopK; recall < 1 by design.

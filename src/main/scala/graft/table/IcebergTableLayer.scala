@@ -15,12 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * coverage. Method-for-method mapping:
   *
   *  - commit(added, removed)  -> ONE `writeTo(table).overwrite(cond)`
-  *    (Iceberg REPLACE WHERE): the union of all staged Parquet dirs
-  *    replaces every touched partition — removed-only keys match the
-  *    condition and contribute no rows, so they are deleted — in a SINGLE
-  *    Iceberg snapshot. Iceberg's optimistic-commit protocol supplies the
-  *    atomic CURRENT swap the manifest layer does with ATOMIC_MOVE; a
-  *    concurrent reader sees the whole commit or none of it.
+  *    (Iceberg REPLACE WHERE) where `cond` covers exactly the REMOVED
+  *    keys: removed partitions are deleted, the union of all staged
+  *    Parquet dirs is inserted (added keys not in `removed` APPEND
+  *    alongside existing rows — ManifestTableLayer parity), all in a
+  *    SINGLE Iceberg snapshot. Iceberg's optimistic-commit protocol
+  *    supplies the atomic CURRENT swap the manifest layer does with
+  *    ATOMIC_MOVE; a concurrent reader sees the whole commit or none.
   *  - currentPartitions()     -> the `<table>.partitions` metadata table
   *    (record_count / file_size; lineage lives in snapshot summary props).
   *  - dropPartitions(pred)    -> `DELETE FROM table WHERE <partition preds>`
@@ -49,10 +50,12 @@ class IcebergTableLayer(
     }.mkString(" AND ")
 
   override def commit(added: Seq[PartitionMeta], removedKeys: Seq[String]): Long = {
-    val touchedKeys = (added.map(_.key) ++ removedKeys).distinct
-    if (touchedKeys.isEmpty) return currentSnapshotId()
-    val cond = touchedKeys
-      .map(k => s"(${partitionKeySql(k)})").mkString(" OR ")
+    if (added.isEmpty && removedKeys.isEmpty) return currentSnapshotId()
+    // ManifestTableLayer parity: only keys in `removedKeys` are replaced;
+    // an added key NOT in removedKeys appends alongside existing rows
+    val cond =
+      if (removedKeys.isEmpty) "false"
+      else removedKeys.map(k => s"(${partitionKeySql(k)})").mkString(" OR ")
     if (added.isEmpty) {
       // removals only: one DELETE with the OR'd predicate — one snapshot
       spark.sql(s"DELETE FROM $fq WHERE $cond")

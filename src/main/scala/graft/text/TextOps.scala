@@ -409,7 +409,7 @@ object TextOps {
     * cheap page-revision change detection at crawl scale).
     */
   def rollingHash64(text: String): Long = {
-    var h = 1469598103934665603L // FNV offset basis
+    var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis (14695981039346656037)
     var i = 0
     while (i < text.length) {
       h = (h ^ text.charAt(i)) * 1099511628211L // FNV-1a step
