@@ -130,4 +130,53 @@ class TierSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L)))
   }
+
+  test("asofJoin == brute-force reference on 25 seeded random frames (property)") {
+    val rnd = new scala.util.Random(20260817L)
+    for (round <- 1 to 25) {
+      val keys = Seq("k1", "k2", "k3")
+      val left = (1 to 60).map { i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(5000).toLong, i.toLong)
+      }.toDF("key", "ts", "row_id")
+      // unique (key, ts) on the right, as the contract requires
+      val right = (1 to 40).map { _ =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(5000).toLong, (rnd.nextInt(1000) + 1).toDouble)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .toDF("key", "rts", "v")
+      val tol = 500L + rnd.nextInt(2000)
+      val bucket = 100L + rnd.nextInt(900)
+      val got = TimeSeriesOps.asofJoin(left, right, Seq("key"), "ts", "rts",
+          Seq("v"), toleranceSec = tol, bucketSec = bucket)
+        .select("row_id", "asof_ts", "asof_v")
+        .as[(Long, Option[Long], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // brute force: per left row, the max right ts <= left ts, in tolerance
+      val rightRows = right.as[(String, Long, Double)].collect()
+      val leftRows = left.as[(String, Long, Long)].collect()
+      leftRows.foreach { case (k, ts, id) =>
+        val cand = rightRows.filter(r => r._1 == k && r._2 <= ts)
+        val expect =
+          if (cand.isEmpty) (None, None)
+          else {
+            val best = cand.maxBy(_._2)
+            if (ts - best._2 <= tol) (Some(best._2), Some(best._3))
+            else (None, None)
+          }
+        assert(got(id) == expect,
+          s"round $round key=$k ts=$ts tol=$tol bucket=$bucket: got ${got(id)}, want $expect")
+      }
+    }
+  }
+
+  test("asofJoin plans broadcast carry, never a nested-loop inequality join") {
+    val left = (1 to 100).map(i => ("k" + i % 4, i * 100L, i.toLong))
+      .toDF("key", "ts", "row_id")
+    val right = (1 to 50).map(i => ("k" + i % 4, i * 190L, i.toDouble))
+      .toDF("key", "rts", "v")
+    val plan = TimeSeriesOps.asofJoin(left, right, Seq("key"), "ts", "rts",
+      Seq("v"), toleranceSec = 1000L, bucketSec = 500L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
