@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CentroidArgMax].getName, "ivf_best_cell"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CentroidArgMax(exprs)))
+    // minhash_sig(text, k): codegen'd MinHash signature (the LSH dedup
+    // pipeline's hot loop)
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSig(exprs)))
     // post-hoc resolution (not optimizer): the rewrite needs the chunk
     // table's t0/t_max in the Generate child's output, which the
     // optimizer's ColumnPruning removes before extended optimizer rules

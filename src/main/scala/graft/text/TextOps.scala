@@ -48,12 +48,22 @@ object TextOps {
   def shingleHashes(text: Column): Column =
     transform(shingles(text, 3), s => pmod(xxhash64(s), lit(P31)))
 
-  /** MinHash signature (array of K longs) in a SINGLE aggregate pass over
-    * the shingle hashes — one shingle tokenization/hash per row total, not
-    * per hash function (16x cheaper than the naive per-k formulation; at
-    * crawl scale signature cost dominates the whole LSH pipeline).
+  /** MinHash signature (array of K longs): the codegen'd `minhash_sig`
+    * Catalyst expression (graft.plans.MinhashSig, registered by
+    * GraftExtensions) — one tokenization + K minima updates per shingle
+    * in primitive loops. The pure-Catalyst formulation it replaced
+    * ([[minhashSigColumns]]) is interpreted per shingle (higher-order
+    * functions have no codegen) and dominated the LSH pipeline; the two
+    * are asserted bitwise-equal in TextOpsSpec.
     */
-  def minhashSig(text: Column, k: Int): Column = {
+  def minhashSig(text: Column, k: Int): Column =
+    call_function("minhash_sig", text, lit(k))
+
+  /** Reference formulation of [[minhashSig]] as a SINGLE aggregate pass
+    * over the shingle hashes — kept as the cross-check for the codegen'd
+    * expression.
+    */
+  private[graft] def minhashSigColumns(text: Column, k: Int): Column = {
     val aArr = array((0 until k).map(i => lit(aK(i))): _*)
     val bArr = array((0 until k).map(i => lit(bK(i))): _*)
     aggregate(

@@ -98,4 +98,20 @@ class TextOpsSpec extends AnyFunSuite {
     val c = TextOps.rollingHash64("world hello")
     assert(a == b && a != c)
   }
+
+  test("codegen'd minhash_sig == pure-Catalyst reference, bitwise, on fixture docs") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((900001L, ""), (900002L, "one"), (900003L, "  two tokens  "))
+        .toDF("doc_id", "text"))
+    val both = docs.select(
+        col("doc_id"),
+        TextOps.minhashSig(col("text"), 16).as("fast"),
+        TextOps.minhashSigColumns(col("text"), 16).as("ref"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"doc $id: $fast != $ref")
+    }
+  }
 }
