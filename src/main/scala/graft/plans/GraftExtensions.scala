@@ -34,6 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashSig(exprs)))
+    // qdot(a, b) / qnorm2(a): codegen'd quantized dot product and squared
+    // norm — the scoring kernel of every similarity path
+    ext.injectFunction((
+      FunctionIdentifier("qdot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "qdot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantizedDot(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("qnorm2"),
+      new ExpressionInfo(classOf[QuantizedNorm2].getName, "qnorm2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantizedNorm2(exprs)))
     // post-hoc resolution (not optimizer): the rewrite needs the chunk
     // table's t0/t_max in the Generate child's output, which the
     // optimizer's ColumnPruning removes before extended optimizer rules

@@ -26,12 +26,25 @@ object Ann {
   private def qint(x: Column): Column =
     round(x.cast("double") * Scale).cast("long")
 
-  /** Integer dot product of two float vectors. */
-  def dotQ(a: Column, b: Column): Column =
+  /** Integer dot product of two quantized vectors — the codegen'd `qdot`
+    * expression (graft.plans.QuantizedDot); the interpreted
+    * `aggregate(zip_with(...))` formulation is kept as
+    * [[dotQColumns]] and asserted bitwise-equal in AnnSpec.
+    */
+  def dotQ(a: Column, b: Column): Column = call_function("qdot", a, b)
+
+  /** Integer squared norm — codegen'd `qnorm2`. */
+  def norm2Q(a: Column): Column = call_function("qnorm2", a)
+
+  /** Reference formulations of [[dotQ]]/[[norm2Q]] as higher-order
+    * expressions — kept as the cross-check for the codegen'd kernels
+    * (they quantize through Catalyst's own `round`, so the parity test
+    * also proves the BigDecimal HALF_UP mirror).
+    */
+  private[graft] def dotQColumns(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => qint(x) * qint(y)), lit(0L), _ + _)
 
-  /** Integer squared norm. */
-  def norm2Q(a: Column): Column =
+  private[graft] def norm2QColumns(a: Column): Column =
     aggregate(transform(a, x => qint(x) * qint(x)), lit(0L), _ + _)
 
   def cosineQ(dot: Column, n2a: Column, n2b: Column): Column =

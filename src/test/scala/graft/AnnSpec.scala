@@ -134,4 +134,21 @@ class AnnSpec extends AnyFunSuite {
     val pos = brute.zipWithIndex.toMap
     assert(lsh.map(pos).sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
   }
+
+  test("codegen'd qdot/qnorm2 == Catalyst-round reference, bitwise, on fixture embeddings") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(broadcast(q)).select(
+        col("vec_id"),
+        Ann.dotQ(col("embedding"), col("qv")).as("fast_dot"),
+        Ann.dotQColumns(col("embedding"), col("qv")).as("ref_dot"),
+        Ann.norm2Q(col("embedding")).as("fast_n2"),
+        Ann.norm2QColumns(col("embedding")).as("ref_n2"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, fd, rd, fn, rn) =>
+      assert(fd == rd && fn == rn, s"vec $id: dot $fd/$rd norm $fn/$rn")
+    }
+  }
 }
