@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantizedNorm2].getName, "qnorm2"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         QuantizedNorm2(exprs)))
+    // shingle_set(text, n): codegen'd distinct word-n-gram shingles (the
+    // exact-Jaccard verification kernel)
+    ext.injectFunction((
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleSet(exprs)))
     // post-hoc resolution (not optimizer): the rewrite needs the chunk
     // table's t0/t_max in the Generate child's output, which the
     // optimizer's ColumnPruning removes before extended optimizer rules

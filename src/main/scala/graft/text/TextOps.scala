@@ -27,6 +27,14 @@ object TextOps {
           i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** DISTINCT shingles via the codegen'd `shingle_set` expression
+    * (graft.plans.ShingleSet) — bit-identical to
+    * `array_distinct(shingles(text, n))` (TextOpsSpec parity), minus the
+    * per-shingle interpretation tax.
+    */
+  def shingleSet(text: Column, n: Int): Column =
+    call_function("shingle_set", text, lit(n))
+
   /** Exact dedup by content hash: one surviving doc per distinct text. */
   def exactDedupe(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))
@@ -111,8 +119,7 @@ object TextOps {
   ): DataFrame = {
     val rows = k / bands
     val shinTable = docs
-      .select(col(idCol).as("doc"),
-        array_distinct(shingles(col(textCol), 3)).as("shin"))
+      .select(col(idCol).as("doc"), shingleSet(col(textCol), 3).as("shin"))
     val banded = sigs
       .select(col("doc"),
         explode(array((0 until bands).map { b =>
@@ -238,8 +245,8 @@ object TextOps {
     * of the LSH pipeline, exposed standalone).
     */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = array_distinct(shingles(a, n))
-    val sb = array_distinct(shingles(b, n))
+    val sa = shingleSet(a, n)
+    val sb = shingleSet(b, n)
     size(array_intersect(sa, sb)).cast("double") /
       size(array_distinct(concat(sa, sb)))
   }

@@ -114,4 +114,20 @@ class TextOpsSpec extends AnyFunSuite {
       assert(fast == ref, s"doc $id: $fast != $ref")
     }
   }
+
+  test("codegen'd shingle_set == array_distinct(shingles), bitwise, on fixture docs") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((900001L, ""), (900002L, "one two"),
+        (900003L, "a b c a b c a b c")).toDF("doc_id", "text"))
+    val both = docs.select(
+        col("doc_id"),
+        TextOps.shingleSet(col("text"), 3).as("fast"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("ref"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"doc $id: $fast != $ref")
+    }
+  }
 }
