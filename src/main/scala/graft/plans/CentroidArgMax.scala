@@ -44,11 +44,8 @@ case class CentroidArgMax(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def elemOk = vecExpr.dataType match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (children.length == 4 && elemOk && children.drop(1).forall(_.foldable) &&
+    if (children.length == 4 && QuantizedVec.elemOk(vecExpr.dataType) &&
+      children.drop(1).forall(_.foldable) &&
       children(1).dataType == ArrayType(LongType, containsNull = false) &&
       children(3).dataType == ArrayType(LongType, containsNull = false))
       TypeCheckResult.TypeCheckSuccess
@@ -66,15 +63,12 @@ case class CentroidArgMax(children: Seq[Expression]) extends Expression {
   }
   @transient private lazy val n2c: Array[Long] =
     children(3).eval(null).asInstanceOf[ArrayData].toLongArray()
-  @transient private lazy val isFloat = vecExpr.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
+  @transient private lazy val isFloat = QuantizedVec.isFloat(vecExpr.dataType)
 
-  /** HALF_UP `round(x * 2^20)` — Catalyst `Round` parity on doubles. */
-  private def qint(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * 1048576.0)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  /** HALF_UP `round(x * 2^20)` — Catalyst `Round` parity on doubles;
+    * single shared definition (parity-critical) in [[QuantizedVec]].
+    */
+  private def qint(x: Double): Long = QuantizedVec.qint(x)
 
   /** Nearest cell id for one vector (public: called from generated code). */
   def bestCell(vec: ArrayData): Long = {

@@ -49,7 +49,7 @@ case class MinhashSig(children: Seq[Expression]) extends Expression {
 
   /** Signature for one document (public: called from generated code). */
   def sig(text: UTF8String): GenericArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = SqlText.tokens(text.toString)
     val n = toks.length
     val acc = Array.fill(k)(Long.MaxValue)
     var i = 0

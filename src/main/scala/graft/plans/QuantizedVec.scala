@@ -13,9 +13,18 @@ import org.apache.spark.sql.types._
   * replays the same SQL `round`), identical to [[CentroidArgMax]].
   */
 private[plans] object QuantizedVec {
-  def qint(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * 1048576.0)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  def qint(x: Double): Long = {
+    val y = x * 1048576.0
+    // non-finite parity with `round(y).cast(long)`: Catalyst Round passes
+    // NaN/Inf through and the long cast maps NaN -> 0, +/-Inf -> saturate
+    // (BigDecimal.valueOf would throw NumberFormatException instead)
+    if (java.lang.Double.isFinite(y))
+      java.math.BigDecimal.valueOf(y)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    else if (java.lang.Double.isNaN(y)) 0L
+    else if (y > 0) Long.MaxValue
+    else Long.MinValue
+  }
 
   def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true

@@ -9,6 +9,23 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Tokenization with exact `split(trim(text), "\\s+")` parity: SQL `trim`
+  * strips ONLY space characters (Java's `String.trim` also eats tabs and
+  * newlines) and Spark's `split` uses limit -1 (a trailing empty token
+  * survives, which Java's default limit 0 drops). Shared by every native
+  * kernel that mirrors the Catalyst tokenization.
+  */
+private[plans] object SqlText {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  def tokens(s: String): Array[String] = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    Ws.split(s.substring(from, to), -1)
+  }
+}
+
 /** `shingle_set(text, n)` — the DISTINCT word-n-gram shingle array as one
   * codegen'd scalar: bit-identical to
   * `array_distinct(transform(sequence(...), i -> concat_ws(" ",
@@ -37,7 +54,7 @@ case class ShingleSet(children: Seq[Expression]) extends Expression {
 
   /** Distinct shingles (public: called from generated code). */
   def set(text: UTF8String): GenericArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = SqlText.tokens(text.toString)
     val seen = new java.util.LinkedHashSet[String]()
     if (toks.length < n) {
       seen.add(toks.mkString(" "))

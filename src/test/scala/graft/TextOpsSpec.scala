@@ -102,8 +102,9 @@ class TextOpsSpec extends AnyFunSuite {
   test("codegen'd minhash_sig == pure-Catalyst reference, bitwise, on fixture docs") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
       .select("doc_id", "text")
-      .unionByName(Seq((900001L, ""), (900002L, "one"), (900003L, "  two tokens  "))
-        .toDF("doc_id", "text"))
+      .unionByName(Seq((900001L, ""), (900002L, "one"), (900003L, "  two tokens  "),
+        (900004L, "\ttab lead"), (900005L, "trail newline\n"),
+        (900006L, "a\r\nb  c\td")).toDF("doc_id", "text"))
     val both = docs.select(
         col("doc_id"),
         TextOps.minhashSig(col("text"), 16).as("fast"),
@@ -119,7 +120,8 @@ class TextOpsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
       .select("doc_id", "text")
       .unionByName(Seq((900001L, ""), (900002L, "one two"),
-        (900003L, "a b c a b c a b c")).toDF("doc_id", "text"))
+        (900003L, "a b c a b c a b c"), (900004L, "\ttab lead x y"),
+        (900005L, "trail newline x y\n")).toDF("doc_id", "text"))
     val both = docs.select(
         col("doc_id"),
         TextOps.shingleSet(col("text"), 3).as("fast"),
