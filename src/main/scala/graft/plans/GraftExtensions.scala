@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleSet(exprs)))
+    // lsh_bucket(vec, nPlanes): codegen'd hyperplane sign bucket
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBucket(exprs)))
     // post-hoc resolution (not optimizer): the rewrite needs the chunk
     // table's t0/t_max in the Generate child's output, which the
     // optimizer's ColumnPruning removes before extended optimizer rules

@@ -132,9 +132,18 @@ object Ann {
     pmod(xxhash64(lit(j), i), lit(2001L)) - 1000L
 
   /** Sign-bucket id from `nPlanes` hyperplanes (bit j = sign of the dot
-    * product with plane j).
+    * product with plane j) — the codegen'd `lsh_bucket` expression
+    * (graft.plans.LshBucket); the interpreted formulation is kept as
+    * [[lshBucketColumns]] and asserted bitwise-equal in AnnSpec.
     */
   def lshBucket(vec: Column, nPlanes: Int): Column =
+    call_function("lsh_bucket", vec, lit(nPlanes))
+
+  /** Reference formulation of [[lshBucket]] — the parity cross-check for
+    * the codegen'd kernel (including Spark's seed-chained multi-arg
+    * xxhash64 plane derivation).
+    */
+  private[graft] def lshBucketColumns(vec: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { j =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

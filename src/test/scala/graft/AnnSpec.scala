@@ -151,4 +151,16 @@ class AnnSpec extends AnyFunSuite {
       assert(fd == rd && fn == rn, s"vec $id: dot $fd/$rd norm $fn/$rn")
     }
   }
+
+  test("codegen'd lsh_bucket == Catalyst reference, bitwise, on fixture embeddings") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val both = emb.select(
+        col("vec_id"),
+        Ann.lshBucket(col("embedding"), 8).as("fast"),
+        Ann.lshBucketColumns(col("embedding"), 8).as("ref"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, f, r) => assert(f == r, s"vec $id: $f != $r") }
+  }
 }
