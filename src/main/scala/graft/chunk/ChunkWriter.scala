@@ -236,9 +236,14 @@ object ChunkWriter {
     val tiers = scan.select("tier").distinct().as[String].collect()
     require(tiers.length == 1,
       s"compactStore expects a single-tier store, found: ${tiers.mkString(",")}")
+    // eager localCheckpoint: materialized BEFORE the copy-on-write
+    // overwrite below, with lineage TRUNCATED — a plain persist would, on
+    // executor/block loss, recompute from the overwritten chunks
+    // directory (original files deleted) and fail or rebuild the index
+    // from post-overwrite state
     val rebuilt = build(
       decode(scan.drop("part_id").as[FlatChunk]), tiers.head, maxPoints)
-      .persist() // feeds the data rewrite AND the index rebuild
+      .localCheckpoint()
     try {
       val prev =
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

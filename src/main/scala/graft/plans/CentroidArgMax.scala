@@ -47,6 +47,12 @@ case class CentroidArgMax(children: Seq[Expression]) extends Expression {
     if (children.length == 4 && QuantizedVec.elemOk(vecExpr.dataType) &&
       children.drop(1).forall(_.foldable) &&
       children(1).dataType == ArrayType(LongType, containsNull = false) &&
+      // typedLit(Seq[Seq[Long]]) carries outer containsNull=true (inner
+      // Seq is a reference type) — require the element shape, not the flag
+      (children(2).dataType match {
+        case ArrayType(ArrayType(LongType, false), _) => true
+        case _ => false
+      }) &&
       children(3).dataType == ArrayType(LongType, containsNull = false))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -27,10 +27,16 @@ case class LshBucket(children: Seq[Expression]) extends Expression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.length == 2 && QuantizedVec.elemOk(vecExpr.dataType) &&
-      children(1).dataType == IntegerType && children(1).foldable)
+      children(1).dataType == IntegerType && children(1).foldable && {
+        // nPlanes bounds are an ANALYSIS error, not a row-eval crash:
+        // <= 0 would cache an empty plane table (cur(0) AIOOBE on the
+        // second row), > 63 wraps the 1L << j bucket bit
+        val n = children(1).eval(null)
+        n != null && n.asInstanceOf[Int] >= 1 && n.asInstanceOf[Int] <= 63
+      })
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "lsh_bucket(vec array<float|double>, nPlanes int-literal)")
+      "lsh_bucket(vec array<float|double>, nPlanes int-literal in [1, 63])")
 
   @transient private lazy val nPlanes: Int =
     children(1).eval(null).asInstanceOf[Int]
@@ -47,7 +53,7 @@ case class LshBucket(children: Seq[Expression]) extends Expression {
 
   private def planesFor(dims: Int): Array[Array[Long]] = {
     val cur = planes
-    if (cur != null && cur(0).length >= dims) cur
+    if (cur != null && cur.length > 0 && cur(0).length >= dims) cur
     else {
       val next = Array.tabulate(nPlanes)(j =>
         Array.tabulate(dims)(i => planeComponent(j, i.toLong)))
