@@ -165,6 +165,15 @@ object TimeSeriesOps {
     * Catalyst would plan as a nested-loop blow-up).
     *
     * Contract: right rows unique per (keys, ts), right values non-null.
+    *
+    * The carry table is one row per key x time-bucket. For series-level
+    * keys that is broadcast-sized; for user-level keys it may not be, so
+    * the carry join is SIZE-GUARDED: `carryBroadcastMaxRows` > 0 probes
+    * the carry cardinality with one cheap partial-agg job and broadcasts
+    * only when it fits, falling back to a shuffle join on (keys, bucket)
+    * otherwise (same result — TierSpec asserts both paths). Pass 0 to
+    * always shuffle, or a negative value to skip the probe and always
+    * broadcast (caller asserts bounded keys).
     */
   def asofJoin(
       left: DataFrame,
@@ -174,62 +183,90 @@ object TimeSeriesOps {
       rightTsCol: String,
       valueCols: Seq[String],
       toleranceSec: Long,
-      bucketSec: Long = 86400L
+      bucketSec: Long = 86400L,
+      carryBroadcastMaxRows: Long = 4000000L
   ): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     val leftCols = left.columns.toSeq
+    // output names are part of the API and must not silently replace
+    // caller columns (withColumn would)
+    val outNames = "asof_ts" +: valueCols.map(v => s"asof_$v")
+    val outClash = leftCols.filter(outNames.contains)
+    require(outClash.isEmpty,
+      s"asofJoin output column(s) ${outClash.mkString(", ")} already exist in left")
+    // helper names derived collision-free: no input column starts with
+    // `pfx`, so every `${pfx}...` helper is fresh on both sides
+    val reserved = (left.columns ++ right.columns).toSet
+    val pfx = {
+      var t = "_"
+      while (reserved.exists(_.startsWith(t))) t += "g"
+      t
+    }
+    val atsC = s"${pfx}ats"; val islC = s"${pfx}is_l"; val bktC = s"${pfx}bkt"
+    val inTsC = s"${pfx}in_ts"; val tLastC = s"${pfx}t_last"
+    val cTsC = s"${pfx}c_ts"
+    def rvC(v: String) = s"${pfx}rv_$v"
+    def inC(v: String) = s"${pfx}in_$v"
+    def vC(v: String) = s"${pfx}v_$v"
+    def cC(v: String) = s"${pfx}c_$v"
     val rSel = right.select(
-      (keyCols.map(col) :+ col(rightTsCol).cast("long").as("_ats")) ++
-        valueCols.map(v => col(v).as(s"_rv_$v")): _*)
+      (keyCols.map(col) :+ col(rightTsCol).cast("long").as(atsC)) ++
+        valueCols.map(v => col(v).as(rvC(v))): _*)
     val lAligned = valueCols.foldLeft(
-        left.withColumn("_ats", col(leftTsCol).cast("long"))
-          .withColumn("_is_l", lit(1))) { (d, v) =>
-        d.withColumn(s"_rv_$v", lit(null).cast(rSel.schema(s"_rv_$v").dataType))
+        left.withColumn(atsC, col(leftTsCol).cast("long"))
+          .withColumn(islC, lit(1))) { (d, v) =>
+        d.withColumn(rvC(v), lit(null).cast(rSel.schema(rvC(v)).dataType))
       }
     val rAligned = leftCols.filterNot(keyCols.contains).foldLeft(
-        rSel.withColumn("_is_l", lit(0))) { (d, c) =>
+        rSel.withColumn(islC, lit(0))) { (d, c) =>
         d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     val u = lAligned
       .unionByName(rAligned.select(lAligned.columns.map(col).toIndexedSeq: _*))
-      .withColumn("_bkt", floor(col("_ats") / bucketSec).cast("long"))
+      .withColumn(bktC, floor(col(atsC) / bucketSec).cast("long"))
     // within-bucket running carry (right rows sort before left ties)
-    val wb = Window.partitionBy((keyCols :+ "_bkt").map(col): _*)
-      .orderBy(col("_ats"), col("_is_l"))
+    val wb = Window.partitionBy((keyCols :+ bktC).map(col): _*)
+      .orderBy(col(atsC), col(islC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = valueCols.foldLeft(
-        u.withColumn("_in_ts",
-          last(when(col("_is_l") === 0, col("_ats")), ignoreNulls = true)
+        u.withColumn(inTsC,
+          last(when(col(islC) === 0, col(atsC)), ignoreNulls = true)
             .over(wb))) { (d, v) =>
-        d.withColumn(s"_in_$v", last(col(s"_rv_$v"), ignoreNulls = true).over(wb))
+        d.withColumn(inC(v), last(col(rvC(v)), ignoreNulls = true).over(wb))
       }
     // per-(key, bucket) tails of the right side, over ALL buckets present
-    val tails = u.groupBy((keyCols :+ "_bkt").map(col): _*)
+    val tails = u.groupBy((keyCols :+ bktC).map(col): _*)
       .agg(
-        max(when(col("_is_l") === 0, col("_ats"))).as("_t_last"),
+        max(when(col(islC) === 0, col(atsC))).as(tLastC),
         valueCols.map(v =>
-          max_by(col(s"_rv_$v"), when(col("_is_l") === 0, col("_ats")))
-            .as(s"_v_$v")): _*)
-    // carry-in = latest tail of any STRICTLY EARLIER bucket (tiny frame:
-    // one row per key x bucket)
+          max_by(col(rvC(v)), when(col(islC) === 0, col(atsC)))
+            .as(vC(v))): _*)
+    // carry-in = latest tail of any STRICTLY EARLIER bucket (one row per
+    // key x bucket)
     val wc = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_bkt"))
+      .orderBy(col(bktC))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = valueCols.foldLeft(
-        tails.withColumn("_c_ts", last(col("_t_last"), ignoreNulls = true).over(wc))) {
-        (d, v) => d.withColumn(s"_c_$v", last(col(s"_v_$v"), ignoreNulls = true).over(wc))
+        tails.withColumn(cTsC, last(col(tLastC), ignoreNulls = true).over(wc))) {
+        (d, v) => d.withColumn(cC(v), last(col(vC(v)), ignoreNulls = true).over(wc))
       }
-      .select((keyCols :+ "_bkt").map(col) ++
-        (col("_c_ts") +: valueCols.map(v => col(s"_c_$v"))): _*)
-    val joined = inBucket.filter(col("_is_l") === 1)
-      .join(broadcast(carry), keyCols :+ "_bkt", "left")
-    val asofTs = coalesce(col("_in_ts"), col("_c_ts"))
-    val inTol = asofTs.isNotNull && (col("_ats") - asofTs) <= toleranceSec
+      .select((keyCols :+ bktC).map(col) ++
+        (col(cTsC) +: valueCols.map(v => col(cC(v)))): _*)
+    val doBroadcast =
+      carryBroadcastMaxRows < 0 ||
+        (carryBroadcastMaxRows > 0 &&
+          tails.select((keyCols :+ bktC).map(col): _*).count() <=
+            carryBroadcastMaxRows)
+    val carrySide = if (doBroadcast) broadcast(carry) else carry
+    val joined = inBucket.filter(col(islC) === 1)
+      .join(carrySide, keyCols :+ bktC, "left")
+    val asofTs = coalesce(col(inTsC), col(cTsC))
+    val inTol = asofTs.isNotNull && (col(atsC) - asofTs) <= toleranceSec
     val out = valueCols.foldLeft(
         joined.withColumn("asof_ts", when(inTol, asofTs))) { (d, v) =>
         d.withColumn(s"asof_$v",
-          when(inTol, when(col("_in_ts").isNotNull, col(s"_in_$v"))
-            .otherwise(col(s"_c_$v"))))
+          when(inTol, when(col(inTsC).isNotNull, col(inC(v)))
+            .otherwise(col(cC(v)))))
       }
     out.select((leftCols.map(col) :+ col("asof_ts")) ++
       valueCols.map(v => col(s"asof_$v")): _*)

@@ -168,6 +168,62 @@ class TierSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: shuffle-carry fallback (high-cardinality guard) == broadcast path") {
+    val rnd = new scala.util.Random(42L)
+    val left = (1 to 300).map { i =>
+      ("k" + rnd.nextInt(40), rnd.nextInt(5000).toLong, i.toLong)
+    }.toDF("key", "ts", "row_id")
+    val right = (1 to 200).map { _ =>
+      ("k" + rnd.nextInt(40), rnd.nextInt(5000).toLong, (rnd.nextInt(1000) + 1).toDouble)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq.toDF("key", "rts", "v")
+    def run(maxRows: Long) = TimeSeriesOps.asofJoin(left, right, Seq("key"),
+        "ts", "rts", Seq("v"), toleranceSec = 2000L, bucketSec = 500L,
+        carryBroadcastMaxRows = maxRows)
+      .select("row_id", "asof_ts", "asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    // maxRows=1 forces the probe below threshold -> shuffle join; -1 forces
+    // broadcast; results must be identical
+    val viaShuffle = run(1L)
+    val viaBroadcast = run(-1L)
+    assert(viaShuffle == viaBroadcast)
+    // and the guarded plan carries no broadcast HINT: with Catalyst's own
+    // size-based auto-broadcast off, the carry join must plan as a
+    // shuffle join (at real scale the stats would make the same call)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = TimeSeriesOps.asofJoin(left, right, Seq("key"), "ts", "rts",
+          Seq("v"), toleranceSec = 2000L, bucketSec = 500L,
+          carryBroadcastMaxRows = 1L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("asofJoin: caller columns colliding with helper names pass through intact") {
+    // left already owns _ats/_is_l/_bkt-shaped names: helper prefix must
+    // dodge them instead of withColumn-replacing caller data
+    val left = Seq(
+      ("k", 100L, 7L, 9L, "keep_me"),
+      ("k", 4000L, 8L, 10L, "keep_too")
+    ).toDF("key", "ts", "_ats", "_rv_v", "_bkt")
+    val right = Seq(("k", 90L, 1.0), ("k", 4000L, 2.0)).toDF("key", "rts", "v")
+    val got = TimeSeriesOps.asofJoin(left, right, Seq("key"), "ts", "rts",
+        Seq("v"), toleranceSec = 10000L, bucketSec = 1000L)
+      .select("ts", "_ats", "_rv_v", "_bkt", "asof_ts", "asof_v")
+      .as[(Long, Long, Long, String, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      (100L, 7L, 9L, "keep_me", Some(90L), Some(1.0)),
+      (4000L, 8L, 10L, "keep_too", Some(4000L), Some(2.0))))
+    // output-name collision is a loud contract error, not silent replace
+    val bad = left.withColumnRenamed("_bkt", "asof_ts")
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.asofJoin(bad, right, Seq("key"), "ts", "rts",
+        Seq("v"), toleranceSec = 10000L)
+    }
+  }
+
   test("asofJoin plans broadcast carry, never a nested-loop inequality join") {
     val left = (1 to 100).map(i => ("k" + i % 4, i * 100L, i.toLong))
       .toDF("key", "ts", "row_id")
