@@ -42,23 +42,15 @@ class IcebergTableLayer(
 
   private def fq = s"$catalog.$table"
 
-  /** "tier=1h/day=2024-01-03" -> "tier = '1h' AND day = '2024-01-03'" */
-  private def partitionKeySql(key: String): String =
-    key.split("/").map { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      s"$k = '$v'"
-    }.mkString(" AND ")
-
   override def commit(added: Seq[PartitionMeta], removedKeys: Seq[String]): Long = {
-    if (added.isEmpty && removedKeys.isEmpty) return currentSnapshotId()
-    // ManifestTableLayer parity: only keys in `removedKeys` are replaced;
-    // an added key NOT in removedKeys appends alongside existing rows
-    val cond =
-      if (removedKeys.isEmpty) "false"
-      else removedKeys.map(k => s"(${partitionKeySql(k)})").mkString(" OR ")
+    // the statement PLAN comes from the companion (shared with the
+    // TableLayerSpec recording layer, which asserts it offline); this
+    // method only binds it to the live session
+    val plan = IcebergTableLayer.commitPlan(fq, added.map(_.path), removedKeys)
+    if (plan.isEmpty) return currentSnapshotId()
     if (added.isEmpty) {
       // removals only: one DELETE with the OR'd predicate — one snapshot
-      spark.sql(s"DELETE FROM $fq WHERE $cond")
+      spark.sql(plan.head)
     } else {
       val staged = added.map { pm =>
         val df = spark.read.parquet(pm.path)
@@ -69,7 +61,9 @@ class IcebergTableLayer(
         }
       }.reduce(_ unionByName _)
       // delete-of-removed + replace-of-added in ONE atomic snapshot
-      staged.writeTo(fq).overwrite(org.apache.spark.sql.functions.expr(cond))
+      staged.writeTo(fq).overwrite(
+        org.apache.spark.sql.functions.expr(
+          IcebergTableLayer.removedCond(removedKeys)))
     }
     currentSnapshotId()
   }
@@ -89,17 +83,15 @@ class IcebergTableLayer(
   override def read(spark: SparkSession): DataFrame = spark.table(fq)
 
   override def dropPartitions(pred: PartitionMeta => Boolean): Long = {
-    currentPartitions().filter(pred)
-      .foreach(p => spark.sql(s"DELETE FROM $fq WHERE ${partitionKeySql(p.key)}"))
+    val keys = currentPartitions().filter(pred).map(_.key)
+    IcebergTableLayer.dropPlan(fq, keys).foreach(spark.sql)
     currentSnapshotId()
   }
 
   override def expireSnapshots(keepLast: Int): Int = {
     val before = spark.sql(s"SELECT count(*) FROM $fq.snapshots")
       .head().getLong(0)
-    spark.sql(
-      s"CALL $catalog.system.expire_snapshots(table => '$table', " +
-        s"retain_last => $keepLast)")
+    spark.sql(IcebergTableLayer.expirePlan(catalog, table, keepLast).head)
     val after = spark.sql(s"SELECT count(*) FROM $fq.snapshots")
       .head().getLong(0)
     (before - after).toInt
@@ -108,4 +100,64 @@ class IcebergTableLayer(
   private def currentSnapshotId(): Long =
     spark.sql(s"SELECT snapshot_id FROM $fq.snapshots ORDER BY committed_at DESC LIMIT 1")
       .collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+}
+
+/** Statement builders, factored out of the instance so the contract test
+  * can assert WHAT the layer would execute without an Iceberg runtime:
+  * `TableLayerSpec` runs the Pipeline against a `ManifestTableLayer`
+  * subclass that records these plans call-for-call, then asserts the
+  * DELETE / overwrite / expire sequence and the one-snapshot-per-commit
+  * invariant. The live class above consumes the SAME builders, so the
+  * recorded statements are the executed statements by construction.
+  */
+object IcebergTableLayer {
+
+  /** "tier=1h/day=2024-01-03" -> "tier = '1h' AND day = '2024-01-03'".
+    * A bare segment without '=' (the Pipeline's namespace keys, e.g.
+    * "chunks-15min/day=d") is an equality on the `tier` partition column
+    * — the key scheme uses the first segment as the partition namespace,
+    * and the bare values ('chunks-15min', 'index-15min') are disjoint
+    * from the real tier names by construction.
+    */
+  def partitionKeySql(key: String): String =
+    key.split("/").map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => s"$k = '$v'"
+        case Array(v) => s"tier = '$v'"
+      }
+    }.mkString(" AND ")
+
+  /** The REPLACE WHERE condition: ManifestTableLayer parity — only keys
+    * in `removedKeys` are replaced; an added key NOT in removedKeys
+    * appends alongside existing rows ("false" overwrites nothing).
+    */
+  def removedCond(removedKeys: Seq[String]): String =
+    if (removedKeys.isEmpty) "false"
+    else removedKeys.map(k => s"(${partitionKeySql(k)})").mkString(" OR ")
+
+  /** The statement plan `commit()` executes: ALWAYS at most ONE statement
+    * — the single-snapshot commit invariant. The overwrite branch is a
+    * DataFrame-API call (`writeTo(fq).overwrite(cond)` over the staged
+    * paths), rendered here in its SQL-equivalent form for recording.
+    */
+  def commitPlan(
+      fq: String,
+      addedPaths: Seq[String],
+      removedKeys: Seq[String]
+  ): Seq[String] =
+    if (addedPaths.isEmpty && removedKeys.isEmpty) Seq.empty
+    else if (addedPaths.isEmpty)
+      Seq(s"DELETE FROM $fq WHERE ${removedCond(removedKeys)}")
+    else
+      Seq(s"INSERT INTO $fq REPLACE WHERE ${removedCond(removedKeys)} " +
+        s"SELECT * FROM parquet [${addedPaths.mkString(", ")}]")
+
+  /** One metadata-aligned DELETE per dropped partition. */
+  def dropPlan(fq: String, keys: Seq[String]): Seq[String] =
+    keys.map(k => s"DELETE FROM $fq WHERE ${partitionKeySql(k)}")
+
+  /** The snapshot-expiry stored-procedure call. */
+  def expirePlan(catalog: String, table: String, keepLast: Int): Seq[String] =
+    Seq(s"CALL $catalog.system.expire_snapshots(table => '$table', " +
+      s"retain_last => $keepLast)")
 }

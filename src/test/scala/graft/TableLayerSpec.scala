@@ -69,6 +69,100 @@ class TableLayerSpec extends AnyFunSuite {
       "tier=1d/day=2024-01-01", "tier=1d/day=2024-01-05"))
   }
 
+  test("Iceberg contract: Pipeline drives the exact DELETE/overwrite/expire sequence") {
+    import graft.table.IcebergTableLayer
+    import graft.pipeline.Pipeline
+    import scala.collection.mutable
+
+    // a ManifestTableLayer that records, call-for-call, the statement
+    // plan IcebergTableLayer would execute for the same TableLayer calls
+    // (the live class consumes the SAME companion builders, so recorded
+    // == executed by construction), while the manifest super provides the
+    // behavior oracle
+    val fq = "cat.db.graft_tier"
+    class RecordingIcebergLayer(root: String) extends ManifestTableLayer(root) {
+      val statements = mutable.Buffer.empty[String]
+      var commits = 0
+      private var inDrop = false
+      override def commit(added: Seq[PartitionMeta], removedKeys: Seq[String]): Long = {
+        // IcebergTableLayer.dropPartitions emits its own DELETEs and does
+        // NOT route through commit; the manifest super does — skip the
+        // inner record to mirror the Iceberg call graph
+        if (!inDrop) {
+          val plan = IcebergTableLayer.commitPlan(fq, added.map(_.path), removedKeys)
+          assert(plan.size <= 1,
+            s"one-snapshot commit invariant violated: $plan") // the docstring promise
+          statements ++= plan
+          commits += 1
+        }
+        super.commit(added, removedKeys)
+      }
+      override def dropPartitions(pred: PartitionMeta => Boolean): Long = {
+        statements ++= IcebergTableLayer.dropPlan(
+          fq, currentPartitions().filter(pred).map(_.key))
+        inDrop = true
+        try super.dropPartitions(pred) finally inDrop = false
+      }
+      override def expireSnapshots(keepLast: Int): Int = {
+        statements ++= IcebergTableLayer.expirePlan("cat", "db.graft_tier", keepLast)
+        super.expireSnapshots(keepLast)
+      }
+    }
+
+    val root = freshRoot()
+    val pagesPath = s"$root/pages"
+    graft.ingest.Pages.writePartitioned(
+      graft.ingest.Pages.synthesize(spark, SparkTestSession.sf0001)
+        .select("url", "warc_ts", "html", "text", "lang"),
+      pagesPath, buckets = 4)
+    val t = new RecordingIcebergLayer(s"$root/table")
+    val days = Pipeline.listDays(spark, pagesPath).take(2)
+    val committed = Pipeline.runRollup(spark, pagesPath, t, days, chunkMaxPoints = 128)
+
+    // stage 1 (rollup): every checkpointed unit commit is exactly ONE
+    // append statement — REPLACE WHERE false (nothing removed), staging
+    // the unit's parquet dir
+    val inserts = t.statements.filter(_.startsWith("INSERT INTO"))
+    assert(inserts.size == committed && committed == t.commits)
+    assert(inserts.forall(_.startsWith(s"INSERT INTO $fq REPLACE WHERE false ")))
+    assert(t.statements.take(inserts.size) == inserts, "rollup statements come first")
+
+    // stage 2 (retention sweep): one metadata-aligned DELETE per dropped
+    // raw partition — tier, chunks and index namespaces, aggregates never
+    val cutoff = days.max // drops strictly-before partitions = days.min only
+    Pipeline.sweepRaw(t, cutoff)
+    val deletes = t.statements.filter(_.startsWith("DELETE FROM"))
+    val d0 = days.min
+    assert(deletes.toSet == Set(
+      s"DELETE FROM $fq WHERE tier = '15min' AND day = '$d0'",
+      s"DELETE FROM $fq WHERE tier = 'chunks-15min' AND day = '$d0'",
+      s"DELETE FROM $fq WHERE tier = 'index-15min' AND day = '$d0'"))
+    assert(!deletes.exists(_.contains("'1d'")), "aggregate tiers survive the sweep")
+
+    // stage 3 (expiry): the stored-procedure call, last in the sequence
+    graft.retention.Retention.expire(t, keepLast = 1)
+    assert(t.statements.last ==
+      "CALL cat.system.expire_snapshots(table => 'db.graft_tier', retain_last => 1)")
+    assert(t.statements.size == inserts.size + deletes.size + 1)
+
+    // replace-commit shape (the streaming MERGE path): added + removed on
+    // the same key is ONE REPLACE WHERE statement covering exactly that key
+    val m = ManifestTableLayer.writePartition(t, df(9), "tier=1h/day=x", "test")
+    t.commit(Seq(m), Seq("tier=1h/day=x"))
+    assert(t.statements.last ==
+      s"INSERT INTO $fq REPLACE WHERE (tier = '1h' AND day = 'x') " +
+        s"SELECT * FROM parquet [${m.path}]")
+    // deletes-only commit: one DELETE with the OR'd predicate
+    assert(IcebergTableLayer.commitPlan(fq, Seq.empty,
+      Seq("tier=1h/day=a", "tier=1h/day=b")) ==
+      Seq(s"DELETE FROM $fq WHERE (tier = '1h' AND day = 'a') OR (tier = '1h' AND day = 'b')"))
+
+    // behavior oracle: the manifest super saw identical calls, so the
+    // table contents match the plain-ManifestTableLayer pipeline
+    assert(Pipeline.readTier(spark, t, "1d").count() > 0)
+    assert(t.currentPartitions().count(_.key.startsWith("tier=15min/")) == days.size - 1)
+  }
+
   test("checkpoint resume: crash mid-stage, rerun, result equals single run") {
     val rootA = freshRoot()
     val rootB = freshRoot()
