@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   *  - REAL audio path (`decodeAudio` / `audioFeatures`): the JDK's
   *    `javax.sound.sampled` parses WAV/AIFF/AU containers and streams PCM
   *    for exact integer energy features (`q_audio_decode`).
-  *  - STUB path (`decodeStub`/`resize`/`sampleFrames`) for modalities with
-  *    no in-JVM codec (video/webp): deterministic fake features so
-  *    the partition-local batched plumbing stays testable; a real build
-  *    swaps the body for an ffmpeg-style call, not the pipeline.
+  *  - REAL video path (`aviFrameChunks` / `decodeAviFrames` /
+  *    `videoFrames`): MJPEG-in-AVI parsed as a plain RIFF chunk tree,
+  *    each movi frame a standalone JPEG decoded by the same ImageIO
+  *    path — oracle-checked (`q_video_decode`).
+  *  - STUB path (`decodeStub`/`resize`, and `sampleFrames` for NON-AVI
+  *    containers only — mp4/webm/mkv have no in-JVM codec):
+  *    deterministic fake features so the partition-local batched
+  *    plumbing stays testable; a real build swaps the body for an
+  *    ffmpeg-style call, not the pipeline.
   */
 object Multimodal {
 
@@ -277,15 +282,175 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (url, bytes) => decodeAudio(url, bytes) })
   }
 
+  // -------------------------------------------------------------------
+  // REAL video codec path — MJPEG-in-AVI. The RIFF/AVI container is a
+  // plain chunk tree and each '..dc' frame is a standalone JPEG, which
+  // the already-used ImageIO path decodes: container parse + frame
+  // sample + pixel decode all run in-JVM with no external library. The
+  // byte-slicing stub below remains ONLY for containers with no in-JVM
+  // codec (mp4/webm/mkv).
+  // -------------------------------------------------------------------
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length % 2 // RIFF chunks are word-aligned
+    id.getBytes(Ascii) ++ le32(body.length) ++ body ++
+      Array.fill[Byte](pad)(0)
+  }
+  private def list(listType: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", listType.getBytes(Ascii) ++ body)
+
+  /** Deterministic `w`x`h` JPEG for container frame `i` of video `seed`
+    * (same pixel mix as [[synthPng]], per-frame offset in the seed).
+    */
+  def synthFrameJpeg(seed: Long, i: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mix = (seed * 1000003L + i) * 6364136223846793005L +
+          x * 9007199254740993L + y
+        img.setRGB(x, y, ((mix >>> 16) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG-in-AVI fixture: a spec-shaped RIFF tree
+    * (hdrl[avih, strl[strh 'vids'/'MJPG', strf BITMAPINFOHEADER]] +
+    * movi['00dc' JPEG frames]) any AVI-aware player accepts — the
+    * generator for the oracle-checked `q_video_decode` and VideoSpec.
+    */
+  def synthAvi(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map(i => synthFrameJpeg(seed, i, w, h))
+    val avih = le32(66667) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes(Ascii) ++ "MJPG".getBytes(Ascii) ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(15) ++
+      le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      "MJPG".getBytes(Ascii) ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    chunk("RIFF", "AVI ".getBytes(Ascii) ++ hdrl ++ movi)
+  }
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, Ascii)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** True iff the payload is a RIFF/AVI container. */
+  def isAvi(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && fourcc(payload, 0) == "RIFF" &&
+      fourcc(payload, 8) == "AVI "
+
+  /** REAL container parse: walk the RIFF chunk tree and return every
+    * video frame chunk ('..dc', e.g. 00dc) of every 'movi' list — also
+    * inside 'rec ' grouping lists, which interleaved AVIs use — as
+    * (absolute byte offset, frame bytes) in container order. Tolerant of
+    * truncated tails (stops at the last complete chunk). Empty for
+    * non-AVI payloads.
+    */
+  def aviFrameChunks(payload: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    if (!isAvi(payload)) return Seq.empty
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    // `inMovi` only gates frame collection — chunk ids are only
+    // meaningful as frames inside movi/rec lists
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = fourcc(payload, p)
+        val size = u32(payload, p + 4)
+        val end = p + 8 + size
+        if (size < 0) return
+        if (id == "LIST" && size >= 4 && p + 12 <= until) {
+          // a truncated LIST still yields its complete children: clamp
+          val listType = fourcc(payload, p + 8)
+          walk(p + 12, math.min(end, until.toLong).toInt,
+            inMovi || listType == "movi" || listType == "rec ")
+        } else if (end <= until && inMovi && id.endsWith("dc")) {
+          out += ((p + 8L,
+            java.util.Arrays.copyOfRange(payload, p + 8, end.toInt)))
+        }
+        if (end > until) return // truncated tail: cannot advance past it
+        p = end.toInt + (size.toInt % 2) // word alignment
+      }
+    }
+    walk(12, payload.length, inMovi = false)
+    out.result()
+  }
+
+  final case class VideoFrame(url: String, frame_idx: Int, src_frame: Int,
+      offset: Long, width: Int, height: Int, frame_md5: String,
+      payload: Array[Byte])
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map("%02x".format(_)).mkString
+  }
+  private def hexUpper(bytes: Array[Byte]): String =
+    bytes.map("%02X".format(_)).mkString
+
+  /** REAL frame sampling + decode for one AVI: every `stride`-th movi
+    * frame up to `maxFrames`, each JPEG decoded by ImageIO for its true
+    * pixel dimensions. `frame_md5` = md5 of the frame's UPPERCASE-hex
+    * rendering (DuckDB replays it as `md5(hex(payload))` over the dumped
+    * frame table). Frames ImageIO cannot decode are dropped.
+    */
+  def decodeAviFrames(url: String, payload: Array[Byte],
+      stride: Int, maxFrames: Int): Seq[VideoFrame] = {
+    val chunks = aviFrameChunks(payload)
+    (0 until chunks.length by stride).take(maxFrames).zipWithIndex.flatMap {
+      case (src, idx) =>
+        val (off, bytes) = chunks(src)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else Some(VideoFrame(url, idx, src, off, img.getWidth, img.getHeight,
+          md5Hex(hexUpper(bytes).getBytes(Ascii)), bytes))
+    }
+  }
+
+  /** Sampled, decoded frames over a (url, binary) AVI table with the
+    * REAL codec — partition-local 1:N fan-out bounded by `maxFrames`;
+    * non-AVI payloads are dropped.
+    */
+  def videoFrames(media: DataFrame, urlCol: String, binCol: String,
+      stride: Int = 4, maxFrames: Int = 8): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, bytes) =>
+        decodeAviFrames(url, bytes, stride, maxFrames)
+      })
+  }
+
   final case class Frame(url: String, frame_idx: Int, offset: Long,
       payload: Array[Byte])
 
-  /** STUB frame sampling for video-shaped payloads: emits every
-    * `stride`-th fixed-size slice of the blob as a "frame" (flatMap —
-    * 1:N row fan-out, the real shape of video decode). A real build
-    * replaces slicing with an ffmpeg-style keyframe iterator; partition
-    * locality, output schema, and the bounded `maxFrames` fan-out are the
-    * scale-relevant parts.
+  /** Frame sampling for video payloads: AVI containers go through the
+    * REAL parser ([[decodeAviFrames]] — frame bytes are the actual movi
+    * JPEG chunks); only containers with no in-JVM codec fall back to the
+    * STUB `stride`-th fixed-size slice (flatMap — 1:N row fan-out, the
+    * real shape of video decode, so the Spark plumbing is identical on
+    * both paths).
     */
   def sampleFrames(media: DataFrame, urlCol: String, binCol: String,
       frameBytes: Int = 256, stride: Int = 4, maxFrames: Int = 8): Dataset[Frame] = {
@@ -293,12 +458,17 @@ object Multimodal {
     import spark.implicits._
     media.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
       .flatMap { case (url, bytes) =>
-        val nSlices = bytes.length / frameBytes
-        (0 until nSlices by stride).take(maxFrames).zipWithIndex.map {
-          case (slice, idx) =>
-            val off = slice.toLong * frameBytes
-            Frame(url, idx, off,
-              java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + frameBytes))
+        if (isAvi(bytes))
+          decodeAviFrames(url, bytes, stride, maxFrames)
+            .map(f => Frame(url, f.frame_idx, f.offset, f.payload))
+        else {
+          val nSlices = bytes.length / frameBytes
+          (0 until nSlices by stride).take(maxFrames).zipWithIndex.map {
+            case (slice, idx) =>
+              val off = slice.toLong * frameBytes
+              Frame(url, idx, off,
+                java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + frameBytes))
+          }
         }
       }
   }

@@ -69,6 +69,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio("u", "not audio".getBytes).isEmpty)
   }
 
+  test("REAL codec: AVI container round-trips MJPEG frames with true dims") {
+    val avi = Multimodal.synthAvi(seed = 11L, nFrames = 5, w = 48, h = 32)
+    // container parse finds every movi frame, in order, each a real JPEG
+    val chunks = Multimodal.aviFrameChunks(avi)
+    assert(chunks.length == 5)
+    assert(chunks.forall { case (_, b) =>
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 // JPEG SOI marker
+    })
+    assert(chunks.map(_._1) == chunks.map(_._1).sorted)
+    // sampled decode: stride 2, cap 2 -> src frames 0 and 2, true dims
+    val frames = Multimodal.decodeAviFrames("u", avi, stride = 2, maxFrames = 2)
+    assert(frames.map(f => (f.frame_idx, f.src_frame)) == Seq((0, 0), (1, 2)))
+    assert(frames.forall(f => f.width == 48 && f.height == 32))
+    assert(frames.forall(f => f.frame_md5.matches("[0-9a-f]{32}")))
+    // frame bytes are the exact movi chunk bytes
+    assert(frames.head.payload.sameElements(chunks.head._2))
+    // non-AVI and truncated payloads never throw
+    assert(Multimodal.aviFrameChunks("not an avi".getBytes).isEmpty)
+    val truncated = java.util.Arrays.copyOf(avi, avi.length - 7)
+    assert(Multimodal.aviFrameChunks(truncated).length == 4)
+  }
+
+  test("sampleFrames routes AVI through the REAL parser, stub only elsewhere") {
+    val avi = Multimodal.synthAvi(seed = 3L, nFrames = 4, w = 32, h = 24)
+    val mixed = Seq(("avi1", avi), ("blob1", Array.fill[Byte](1024)(5)))
+      .toDF("url", "payload")
+    val frames = Multimodal.sampleFrames(mixed, "url", "payload",
+      frameBytes = 256, stride = 1, maxFrames = 8).collect()
+    val byUrl = frames.groupBy(_.url)
+    // AVI: one Frame per movi chunk, payload = the JPEG (not a 256B slice)
+    assert(byUrl("avi1").length == 4)
+    assert(byUrl("avi1").forall(f =>
+      (f.payload(0) & 0xff) == 0xff && (f.payload(1) & 0xff) == 0xd8))
+    // non-AVI: the stub fixed-size slices
+    assert(byUrl("blob1").length == 4)
+    assert(byUrl("blob1").forall(_.payload.length == 256))
+  }
+
   test("frame sampling: strided fixed-size slices, bounded fan-out") {
     val frames = Multimodal.sampleFrames(media, "url", "payload",
       frameBytes = 256, stride = 2, maxFrames = 3).collect()
