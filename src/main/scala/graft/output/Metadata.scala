@@ -25,12 +25,19 @@ object Metadata {
   }
 
   /** Write a datapackage-style descriptor for an export directory: every
-    * data file with bytes + sha256, plus schema fields per resource.
+    * data file with bytes + sha256, plus schema fields per resource —
+    * and, via `seriesKeys`, the reference's per-COLUMN source metadata
+    * ([pub: make_json.py::make_json]): one descriptor per series with all
+    * six header levels (region/domain, variable/metric, attribute,
+    * source, web, unit), keyed by the flattened series name the export
+    * carries. Callers pass the bounded per-export key list (series
+    * cardinality, maxSeries-guarded upstream — never row-scale data).
     */
   def dataPackage(
       name: String,
       exportDir: String,
-      resources: Seq[(String, DataFrame)] // (relative dir, frame that produced it)
+      resources: Seq[(String, DataFrame)], // (relative dir, frame that produced it)
+      seriesKeys: Map[String, Seq[graft.model.SeriesKey]] = Map.empty
   ): String = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
@@ -45,6 +52,19 @@ object Metadata {
         val fn = fields.addObject()
         fn.put("name", f.name)
         fn.put("type", f.dataType.simpleString)
+      }
+      seriesKeys.get(rel).foreach { keys =>
+        val arr = n.putArray("series")
+        keys.sortBy(_.flat).foreach { k =>
+          val o = arr.addObject()
+          o.put("name", k.flat)
+          o.put("region", k.domain)
+          o.put("variable", k.metric)
+          o.put("attribute", k.attribute)
+          o.put("source", k.source)
+          o.put("web", k.web)
+          o.put("unit", k.unit)
+        }
       }
       val files = n.putArray("files")
       val dir = Paths.get(exportDir, rel)

@@ -247,7 +247,7 @@ object EventQueries {
     "q_jdbc_roundtrip" -> ((s, dir) => {
       val tier = tierAt(s, dir, 3600)
         .select("event_type", "bucket_ts", "n", "sum_cents")
-      val db = "/root/repo/target/verify_tmp/jdbc_derby"
+      val db = Scratch.dir("jdbc_derby")
       graft.output.JdbcSink.roundTrip(tier, s"jdbc:derby:$db;create=true", "tier_1h")
         .select(col("event_type"), col("bucket_ts").cast("long").as("bucket_ts"),
           col("n").cast("long").as("n"),
@@ -263,7 +263,7 @@ object EventQueries {
           tierAt(s, dir, 3600),
           concat(col("event_type"), lit("_cents_sum")), "bucket_ts", "sum_cents")
         .orderBy("series", "utc_timestamp").coalesce(1)
-      val root = "/root/repo/target/verify_tmp/dpkg"
+      val root = Scratch.dir("dpkg")
       graft.output.OutputShapes.writeCsv(stacked, s"$root/stacked")
       graft.output.Metadata.dataPackage("verify-export", root,
         Seq(("stacked", stacked)))
@@ -277,6 +277,38 @@ object EventQueries {
         f = r.get("files").get(j)
       } yield (r.get("path").asText(), f.get("bytes").asLong(), f.get("sha256").asText())
       rows.toDF("resource", "bytes", "sha256")
+    }),
+
+    // per-COLUMN source metadata in the descriptor ([pub: make_json.py]):
+    // the engine emits one series descriptor per exported series carrying
+    // all six header levels; the oracle derives the same list from the
+    // events table independently
+    "q_datapackage_fields" -> ((s, dir) => {
+      import s.implicits._
+      val h = tierAt(s, dir, 3600)
+      val stacked = graft.output.OutputShapes.stacked(
+          h, concat(col("event_type"), lit("_cents_sum")), "bucket_ts", "sum_cents")
+        .orderBy("series", "utc_timestamp").coalesce(1)
+      val root = Scratch.dir("dpkg_fields")
+      graft.output.OutputShapes.writeCsv(stacked, s"$root/stacked")
+      val keys = h.select("event_type").distinct().as[String].collect().sorted
+        .map(et => graft.model.SeriesKey(et, "cents", "sum", "events",
+          s"https://graft.example/docs/$et", "cents"))
+      graft.output.Metadata.dataPackage("verify-export-fields", root,
+        Seq(("stacked", stacked)), Map("stacked" -> keys.toSeq))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/datapackage.json")))
+      val rows = for {
+        i <- 0 until node.get("resources").size()
+        r = node.get("resources").get(i)
+        if r.has("series")
+        j <- 0 until r.get("series").size()
+        k = r.get("series").get(j)
+      } yield (k.get("name").asText(), k.get("region").asText(),
+        k.get("variable").asText(), k.get("attribute").asText(),
+        k.get("source").asText(), k.get("web").asText(), k.get("unit").asText())
+      rows.toDF("series", "region", "variable", "attribute", "source", "web", "unit")
     }),
 
     // singleindex wide export (one column per series), driver-gated: the
@@ -301,7 +333,7 @@ object EventQueries {
         lit("cents").as("unit"))
       val (body, headers) = graft.output.OutputShapes.multiIndex(
         h, key, "bucket_ts", "sum_cents")
-      val file = "/root/repo/target/verify_tmp/multiindex/hourly.csv"
+      val file = Scratch.dir("multiindex/hourly.csv")
       graft.output.OutputShapes.writeMultiIndexCsv(body, headers, file)
       graft.output.OutputShapes.readMultiIndexCsv(s, file)
         .select(col("series"), col("utc_timestamp"), col("cet_cest_timestamp"),
@@ -514,9 +546,19 @@ object EventQueries {
       s"""SELECT event_type, bucket_ts, n, sum_cents FROM ($T1H) h""",
 
     "q_datapackage" ->
-      """SELECT 'stacked' AS resource, CAST(size AS BIGINT) AS bytes,
+      s"""SELECT 'stacked' AS resource, CAST(size AS BIGINT) AS bytes,
         |  sha256(decode(content)) AS sha256
-        |FROM read_blob('/root/repo/target/verify_tmp/dpkg/stacked/part-*.csv')""".stripMargin,
+        |FROM read_blob('${Scratch.dir("dpkg")}/stacked/part-*.csv')""".stripMargin,
+
+    // the six-level per-series descriptor list, derived from the data
+    "q_datapackage_fields" ->
+      """SELECT DISTINCT
+        |  event_type || '_cents_sum_events_cents' AS series,
+        |  event_type AS region, 'cents' AS variable, 'sum' AS attribute,
+        |  'events' AS source,
+        |  'https://graft.example/docs/' || event_type AS web,
+        |  'cents' AS unit
+        |FROM events""".stripMargin,
 
     "q_singleindex_export" ->
       s"""SELECT strftime(make_timestamp(bucket_ts * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS utc_timestamp,

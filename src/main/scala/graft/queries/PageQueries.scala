@@ -161,7 +161,7 @@ object PageQueries {
     "q_index_read" -> ((s, dir) => {
       val from = Pages.T0Epoch + 1 * 86400L
       val until = Pages.T0Epoch + 4 * 86400L
-      val store = "/root/repo/target/verify_tmp/chunk_store_idx"
+      val store = Scratch.dir("chunk_store_idx")
       ChunkWriter.writeIndexedStore(buildScoreChunks(s, dir), store, buckets = 16)
       ChunkWriter.indexedRead(s, store,
           Seq("d7.example_score", "d42.example_score"), from, until)
@@ -173,7 +173,7 @@ object PageQueries {
     // back through the rebuilt index — the oracle sees the plain tier, so
     // compaction proving content-invariance is the check
     "q_compact_read" -> ((s, dir) => {
-      val store = "/root/repo/target/verify_tmp/chunk_store_compact"
+      val store = Scratch.dir("chunk_store_compact")
       ChunkWriter.writeIndexedStore(
         buildScoreChunks(s, dir, maxPoints = 12), store, buckets = 16)
       val compacted = ChunkWriter.compactStore(s, store, buckets = 16,
@@ -188,7 +188,7 @@ object PageQueries {
     // rows, n/a cells) via CsvSource; DuckDB reads the SAME file with its
     // own CSV reader and mirrors the normalization
     "q_csv_source" -> ((s, dir) => {
-      val p = java.nio.file.Paths.get("/root/repo/target/verify_tmp/eu_ts.csv")
+      val p = java.nio.file.Paths.get(Scratch.dir("eu_ts.csv"))
       java.nio.file.Files.createDirectories(p.getParent)
       val rows = (0 until 96).map { i =>
         val ts = f"2024-01-01T${i / 4}%02d:${(i % 4) * 15}%02d:00Z"
@@ -209,7 +209,7 @@ object PageQueries {
     // and computes the expected UTC from explicit CASE offsets (the spec),
     // independent of any engine's tz-overlap resolution.
     "q_csv_cet" -> ((s, dir) => {
-      val p = java.nio.file.Paths.get("/root/repo/target/verify_tmp/eu_cet.csv")
+      val p = java.nio.file.Paths.get(Scratch.dir("eu_cet.csv"))
       java.nio.file.Files.createDirectories(p.getParent)
       val rows = (0 until 20).map { i =>
         val ts = f"2024-10-27 ${i / 4}%02d:${(i % 4) * 15}%02d:00"
@@ -225,7 +225,7 @@ object PageQueries {
     // per-row invariant: text bytes survive a partitioned write+read
     "q_text_invariant" -> ((s, dir) => {
       val pages = Pages.synthesize(s, dir)
-      val out = s"/root/repo/target/verify_tmp/pages_rt"
+      val out = Scratch.dir("pages_rt")
       Pages.writePartitioned(pages.select("url", "warc_ts", "html", "text", "lang"),
         out, buckets = 16)
       s.read.parquet(out)
@@ -333,10 +333,10 @@ object PageQueries {
       s"SELECT DISTINCT url, sha256(text) AS h FROM $P p",
 
     "q_csv_source" ->
-      """SELECT epoch_us(CAST(c0 AS TIMESTAMPTZ))//1000000 AS epoch_s,
+      s"""SELECT epoch_us(CAST(c0 AS TIMESTAMPTZ))//1000000 AS epoch_s,
         |  TRY_CAST(replace(replace(trim(c1), '.', ''), ',', '.') AS DOUBLE) AS DE_load_actual,
         |  TRY_CAST(replace(replace(trim(c2), '.', ''), ',', '.') AS DOUBLE) AS DE_wind_actual
-        |FROM read_csv('/root/repo/target/verify_tmp/eu_ts.csv', delim=';', header=false, skip=2,
+        |FROM read_csv('${Scratch.dir("eu_ts.csv")}', delim=';', header=false, skip=2,
         |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR'})""".stripMargin,
 
     "q_index_read" ->
@@ -347,10 +347,10 @@ object PageQueries {
          |  AND bucket_ts < ${Pages.T0Epoch + 4 * 86400L}""".stripMargin,
 
     "q_csv_cet" ->
-      """SELECT epoch_us(CAST(c0 AS TIMESTAMP))//1000000
+      s"""SELECT epoch_us(CAST(c0 AS TIMESTAMP))//1000000
         |  - (CASE WHEN c0 < '2024-10-27 02:00:00' THEN 7200 ELSE 3600 END) AS epoch_s,
         |  TRY_CAST(replace(replace(trim(c1), '.', ''), ',', '.') AS DOUBLE) AS DE_load_actual
-        |FROM read_csv('/root/repo/target/verify_tmp/eu_cet.csv', delim=';', header=false, skip=2,
+        |FROM read_csv('${Scratch.dir("eu_cet.csv")}', delim=';', header=false, skip=2,
         |  columns={'c0':'VARCHAR','c1':'VARCHAR'})""".stripMargin,
 
     "q_topk_domains" ->

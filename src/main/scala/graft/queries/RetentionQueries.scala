@@ -35,7 +35,7 @@ object RetentionQueries {
   private val CutoffEpoch = 1704326400L
 
   private def freshRoot(name: String): String = {
-    val p = java.nio.file.Paths.get(s"/root/repo/target/verify_tmp/$name")
+    val p = java.nio.file.Paths.get(Scratch.dir(name))
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p)
         .sorted(java.util.Comparator.reverseOrder())

@@ -31,7 +31,7 @@ object SimQueries {
       // uses — the mirrored candidate selection sees identical buckets
       withBucket.select(col("vec_id"), col("_bucket").as("bucket"))
         .write.mode("overwrite")
-        .parquet("/root/repo/target/verify_tmp/lsh_buckets")
+        .parquet(Scratch.dir("lsh_buckets"))
       val res = Ann.lshTopKWith(withBucket,
           "vec_id", "embedding", queryId = 0L, k = 10, nPlanes = 8)
         .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
@@ -53,7 +53,7 @@ object SimQueries {
     // directories. Oracle: identical semantics to q_ann_ivf.
     "q_ann_ivf_indexed" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val path = "/root/repo/target/verify_tmp/ivf_index"
+      val path = Scratch.dir("ivf_index")
       Ann.writeIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 20)
       val qv = emb.filter(col("vec_id") === 0L)
         .select("embedding").head().getSeq[Float](0).toArray
@@ -180,8 +180,8 @@ object SimQueries {
     // the query's bucket plus each single-bit flip), exact quantized
     // scoring + rank mirrored from q_ann_brute
     "q_ann_lsh" ->
-      """WITH bk AS (SELECT vec_id, bucket
-        |  FROM read_parquet('/root/repo/target/verify_tmp/lsh_buckets/*.parquet')),
+      s"""WITH bk AS (SELECT vec_id, bucket
+        |  FROM read_parquet('${Scratch.dir("lsh_buckets")}/*.parquet')),
         |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
         |probes AS (SELECT bucket FROM qb
         |  UNION SELECT xor(qb.bucket, CAST(1 AS BIGINT) << j)

@@ -125,7 +125,7 @@ object TextQueries {
     "q_minhash_pairs" -> ((s, dir) =>
       TextOps.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
         k = 16, bands = 4, threshold = 0.5,
-        sigSink = Some("/root/repo/target/verify_tmp/minhash_sigs"))),
+        sigSink = Some(Scratch.dir("minhash_sigs")))),
 
     // SimHash Hamming-<=3 pairs. The 64-bit signature itself is not
     // SQL-expressible (typed map, unit-tested), but the PAIRING stage is:
@@ -134,10 +134,9 @@ object TextQueries {
     // over those very signatures — a cross-engine check of the join logic.
     "q_simhash_pairs" -> ((s, dir) => {
       val sim = TextOps.simhashTable(docsWithNearDups(s, dir), "doc_id", "text")
-      sim.write.mode("overwrite")
-        .parquet("/root/repo/target/verify_tmp/simhash_tbl")
+      sim.write.mode("overwrite").parquet(Scratch.dir("simhash_tbl"))
       TextOps.simhashNearDups(
-          s.read.parquet("/root/repo/target/verify_tmp/simhash_tbl"),
+          s.read.parquet(Scratch.dir("simhash_tbl")),
           "doc_id", maxDist = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
     }),
@@ -176,6 +175,32 @@ object TextQueries {
         .toDF().select(col("url"), col("width"), col("height"))
     }),
 
+    // REAL video decode: per-doc deterministic MJPEG-in-AVI containers
+    // (nFrames/width/height from doc_id arithmetic) parsed as RIFF chunk
+    // trees, every 2nd frame sampled (max 3), each JPEG decoded by
+    // ImageIO for its TRUE dimensions. The sampled-frame table (with
+    // payloads) is dumped for the oracle, which replays the sampling
+    // arithmetic + expected dims from doc_id and hashes the dumped frame
+    // bytes — wrong extraction, wrong dims, or missing/extra frames all
+    // fail the compare (LEFT JOIN keeps expected-but-missing rows).
+    "q_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val avis = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (s"avi://$id", Multimodal.synthAvi(id,
+            nFrames = 3 + (id % 4).toInt,
+            w = 32 + (id % 3).toInt * 16,
+            h = 24 + (id % 2).toInt * 8))
+        })
+        .toDF("url", "avi")
+      Multimodal.videoFrames(avis, "url", "avi", stride = 2, maxFrames = 3)
+        .toDF().write.mode("overwrite").parquet(Scratch.dir("video_frames"))
+      s.read.parquet(Scratch.dir("video_frames"))
+        .select(col("url"), col("frame_idx"), col("src_frame"),
+          col("width"), col("height"), col("frame_md5"))
+    }),
+
     // REAL audio decode: per-doc deterministic WAVs parsed by the JDK's
     // AudioSystem; header fields AND the exact PCM energy (sum of squared
     // int16 samples) must match the oracle's arithmetic replay
@@ -196,7 +221,7 @@ object TextQueries {
     // the PRODUCTION sink: foreachBatch copy-on-write MERGE into a
     // day-partitioned snapshot table (memory sink is test-harness-only)
     "q_stream_1h" -> ((s, dir) => {
-      val root = java.nio.file.Paths.get("/root/repo/target/verify_tmp/stream_1h")
+      val root = java.nio.file.Paths.get(Scratch.dir("stream_1h"))
       if (java.nio.file.Files.exists(root)) {
         val st = java.nio.file.Files.walk(root)
         try st.sorted(java.util.Comparator.reverseOrder())
@@ -208,10 +233,20 @@ object TextQueries {
     }),
 
     // stateful streaming upsert (flatMapGroupsWithState): latest event
-    // per user, state carried across micro-batches
-    "q_stream_latest" -> ((s, dir) =>
-      StreamingRollup.latestEventPerUser(s, dir, "events.parquet",
-        "graft_stream_latest_verify"))
+    // per user, state carried across micro-batches, drained through the
+    // PRODUCTION sink — foreachBatch MERGE into a user-hash-bucketed
+    // snapshot table (nothing ever collects on the driver)
+    "q_stream_latest" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get(Scratch.dir("stream_latest"))
+      if (java.nio.file.Files.exists(root)) {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally st.close()
+      }
+      StreamingRollup.latestEventPerUserMerged(s, dir, "events.parquet",
+        s"$root/table", s"$root/ckpt")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -324,11 +359,11 @@ object TextQueries {
     // the slices are equal, modulo negligible 64-bit collisions) and the
     // exact shingle-Jaccard verify against the same corpus
     "q_minhash_pairs" ->
-      """WITH d AS (SELECT doc_id, text FROM documents UNION ALL
+      s"""WITH d AS (SELECT doc_id, text FROM documents UNION ALL
         |           SELECT doc_id + 200000, text || ' graft trailer token'
         |           FROM documents WHERE doc_id % 7 = 0),
         |sigs AS (SELECT doc, sig
-        |  FROM read_parquet('/root/repo/target/verify_tmp/minhash_sigs/*.parquet')),
+        |  FROM read_parquet('${Scratch.dir("minhash_sigs")}/*.parquet')),
         |banded AS (SELECT doc, bi AS band_idx,
         |    array_to_string(sig[bi*4+1:bi*4+4], ',') AS band_key
         |  FROM sigs, (SELECT UNNEST([0, 1, 2, 3]) AS bi) t),
@@ -336,7 +371,7 @@ object TextQueries {
         |  FROM banded a JOIN banded b
         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
         |  WHERE a.doc < b.doc),
-        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d),
         |sh AS (SELECT doc_id,
         |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
         |      ELSE list_transform(generate_series(1, len(t)-2),
@@ -354,8 +389,8 @@ object TextQueries {
     // the join/verify logic is cross-engine-checked even though the
     // signature itself stays Scala
     "q_simhash_pairs" ->
-      """WITH sim AS (SELECT doc_id, simhash
-        |  FROM read_parquet('/root/repo/target/verify_tmp/simhash_tbl/*.parquet')),
+      s"""WITH sim AS (SELECT doc_id, simhash
+        |  FROM read_parquet('${Scratch.dir("simhash_tbl")}/*.parquet')),
         |ch AS (SELECT doc_id, simhash, c AS chunk_idx,
         |    (simhash >> (c * 16)) & 65535 AS chunk_val
         |  FROM sim, (SELECT UNNEST([0, 1, 2, 3]) AS c) t)
@@ -407,6 +442,26 @@ object TextQueries {
         |  greatest(1, CAST(trunc(w * sc) AS INT)) AS width,
         |  greatest(1, CAST(trunc(h * sc) AS INT)) AS height
         |FROM s""".stripMargin,
+
+    // sampling arithmetic + dims replayed from doc_id; frame bytes hashed
+    // from the ENGINE-dumped frame table (md5 over DuckDB's uppercase
+    // hex(), matching the engine's md5-of-hex definition); LEFT JOIN so
+    // an engine that extracts too few frames row-count-mismatches
+    "q_video_decode" ->
+      s"""WITH docs AS (SELECT doc_id,
+        |    3 + doc_id % 4 AS nf,
+        |    CAST(32 + (doc_id % 3) * 16 AS INT) AS w,
+        |    CAST(24 + (doc_id % 2) * 8 AS INT) AS h
+        |  FROM documents),
+        |exp AS (SELECT doc_id, nf, w, h, UNNEST([0, 1, 2]) AS i FROM docs),
+        |fr AS (SELECT url, frame_idx, md5(hex(payload)) AS frame_md5
+        |  FROM read_parquet('${Scratch.dir("video_frames")}/*.parquet'))
+        |SELECT 'avi://' || CAST(e.doc_id AS VARCHAR) AS url,
+        |  CAST(e.i AS INT) AS frame_idx, CAST(e.i * 2 AS INT) AS src_frame,
+        |  e.w AS width, e.h AS height, f.frame_md5
+        |FROM exp e LEFT JOIN fr f
+        |  ON f.url = 'avi://' || CAST(e.doc_id AS VARCHAR) AND f.frame_idx = e.i
+        |WHERE e.i * 2 < e.nf""".stripMargin,
 
     "q_audio_decode" ->
       """WITH docs AS (SELECT doc_id, 50 + doc_id % 100 AS n FROM documents),

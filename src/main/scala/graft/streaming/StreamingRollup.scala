@@ -120,28 +120,93 @@ object StreamingRollup {
   case class Ev(event_id: Long, epoch_us: Long, user_id: Long,
       event_type: String, cents: Long)
 
-  /** Stateful streaming upsert: latest event per user via
-    * `flatMapGroupsWithState` — per-key state carries the running
-    * (epoch_s, event_id) maximum ACROSS micro-batches, the streaming form
-    * of the engine's priority dedupe (P6) / revision patching (J3). Late
-    * or out-of-order arrivals never regress the state (strict (ts, id)
-    * ordering), which is exactly the late-page-revision semantics the
-    * batch pipeline gets from union + window dedupe.
-    *
-    * `eventsPath` may be split over many files; with maxFilesPerTrigger=1
-    * each file is its own micro-batch, exercising cross-batch state
-    * (StreamingSpec). Emitted updates are per-batch; the final answer is
-    * the last update per key (resolved with one window pass at the end —
-    * on a cluster the sink would be a keyed MERGE instead).
+  /** Copy-on-write MERGE of one micro-batch of per-user latest-event
+    * updates into a user-hash-bucketed ManifestTableLayer: only the hash
+    * buckets the batch touches are rewritten. Within a rewritten bucket
+    * the merge keeps the per-user (epoch_us, event_id) MAXIMUM of
+    * existing + incoming rows — idempotent under foreachBatch replay and
+    * monotone under out-of-order arrivals, i.e. `MERGE WHEN MATCHED AND
+    * source.ts > target.ts THEN UPDATE` semantics. Bucket count bounds
+    * the per-batch job count; each bucket job is a distributed
+    * union + window over one partition + the batch slice — nothing about
+    * the state table ever reaches the driver (the round-3 memory-sink
+    * version collected every user's row; at 10^9 users that is a driver
+    * OOM, not a sink).
     */
-  def latestEventPerUser(
+  def mergeLatestBatch(
+      spark: SparkSession,
+      layer: graft.table.ManifestTableLayer,
+      batch: DataFrame,
+      batchId: Long,
+      nBuckets: Int
+  ): Unit = {
+    import spark.implicits._
+    val b = batch.select("user_id", "event_id", "epoch_us", "event_type", "cents")
+      .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)))
+      .persist()
+    try {
+      // touched buckets are bounded by nBuckets, never by user count
+      val buckets = b.select("bucket").distinct().as[Long].collect().sorted
+      if (buckets.isEmpty) return
+      val current = layer.currentPartitions().map(p => p.key -> p).toMap
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("epoch_us").desc, col("event_id").desc)
+      buckets.foreach { bk =>
+        val key = s"latest/bucket=$bk"
+        val batchBk = b.filter(col("bucket") === bk).drop("bucket")
+        val unioned = current.get(key) match {
+          case Some(pm) => spark.read.parquet(pm.path).unionByName(batchBk)
+          case None => batchBk
+        }
+        val merged = unioned
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") === 1).drop("_rk")
+        val outDir = layer.dataDir(key).resolve(s"b$batchId").toString
+        merged.write.mode("overwrite").parquet(outDir)
+        val written = spark.read.parquet(outDir)
+        val rows = written.count()
+        val bytes = {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+          try s.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p))
+            .map(java.nio.file.Files.size).sum
+          finally s.close()
+        }
+        layer.commit(
+          Seq(graft.table.PartitionMeta(key, outDir, rows, bytes,
+            s"stream-upsert batch=$batchId")),
+          Seq(key))
+      }
+    } finally b.unpersist()
+  }
+
+  /** Stateful streaming upsert through the PRODUCTION sink shape: latest
+    * event per user via `flatMapGroupsWithState` — per-key state carries
+    * the running (epoch_us, event_id) maximum ACROSS micro-batches, the
+    * streaming form of the engine's priority dedupe (P6) / revision
+    * patching (J3). Late or out-of-order arrivals never regress the state
+    * (strict (ts, id) ordering), which is exactly the late-page-revision
+    * semantics the batch pipeline gets from union + window dedupe.
+    *
+    * Each micro-batch of updates is MERGE-upserted into a user-hash-
+    * bucketed snapshot table via `foreachBatch` ([[mergeLatestBatch]]),
+    * resumable via `checkpointDir` across query restarts. `eventsPath`
+    * may be split over many files; with maxFilesPerTrigger=1 each file is
+    * its own micro-batch, exercising cross-batch state (StreamingSpec).
+    * Returns the table's current contents.
+    */
+  def latestEventPerUserMerged(
       spark: SparkSession,
       dir: String,
       glob: String,
-      queryName: String,
-      maxFilesPerTrigger: Int = 0
+      tableRoot: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 0,
+      nBuckets: Int = 16
   ): DataFrame = {
     import spark.implicits._
+    val layer = new graft.table.ManifestTableLayer(tableRoot)
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val src = (if (maxFilesPerTrigger > 0)
@@ -172,17 +237,14 @@ object StreamingRollup {
       .toDF("user_id", "event_id", "epoch_us", "event_type", "cents")
     val q = latest.writeStream
       .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        mergeLatestBatch(spark, layer, batch, id, nBuckets))
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("epoch_us").desc, col("event_id").desc)
-    spark.table(queryName)
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
+    layer.read(spark)
       .withColumn("epoch_s", expr("epoch_us div 1000000"))
       .select("user_id", "event_id", "epoch_s", "event_type", "cents")
   }

@@ -15,14 +15,16 @@ class StreamingSpec extends AnyFunSuite {
   test("latest-event-per-user state survives micro-batch boundaries == batch dedupe") {
     // split the fixture into 4 files; maxFilesPerTrigger=1 forces 4
     // micro-batches so the running maximum must be carried in state
-    val dir = Files.createTempDirectory(
+    val base = Files.createTempDirectory(
       Paths.get("/root/repo/target"), "stream-test-").toString
+    val dir = s"$base/src"
     spark.read.parquet(s"${SparkTestSession.sf0001}/events.parquet")
       .repartition(4)
       .write.mode("overwrite").parquet(dir)
 
-    val streamed = StreamingRollup.latestEventPerUser(
-      spark, dir, "*.parquet", "graft_stream_state_test", maxFilesPerTrigger = 1)
+    val streamed = StreamingRollup.latestEventPerUserMerged(
+      spark, dir, "*.parquet", s"$base/table", s"$base/ckpt",
+      maxFilesPerTrigger = 1, nBuckets = 4)
 
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").cast("timestamp").desc, col("event_id").desc)
@@ -38,6 +40,50 @@ class StreamingSpec extends AnyFunSuite {
     val cols = Seq("user_id", "event_id", "epoch_s", "event_type", "cents").map(col)
     assert(streamed.select(cols: _*).except(batch.select(cols: _*)).isEmpty)
     assert(streamed.count() == batch.count())
+  }
+
+  test("upsert MERGE sink resumes across query restarts == batch dedupe (kill/resume)") {
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-upsert-").toString
+    val srcDir = s"$base/src"
+    val events = spark.read.parquet(s"${SparkTestSession.sf0001}/events.parquet")
+
+    // RANDOM split: run 2 delivers arbitrarily out-of-order (often older)
+    // rows — no watermark on this path, so state + MERGE must simply
+    // never regress the per-user (ts, id) maximum
+    val h = pmod(xxhash64(col("event_id")), lit(2))
+    events.filter(h === 0).repartition(2)
+      .write.mode("overwrite").parquet(srcDir)
+    val r1 = StreamingRollup.latestEventPerUserMerged(spark, srcDir, "*.parquet",
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1, nBuckets = 4)
+    assert(r1.count() > 0)
+
+    // "kill" = the first query fully stopped; run 2 restarts from the
+    // SAME checkpoint + table after the rest of the data arrives
+    events.filter(h === 1).repartition(2)
+      .write.mode("append").parquet(srcDir)
+    val r2 = StreamingRollup.latestEventPerUserMerged(spark, srcDir, "*.parquet",
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1, nBuckets = 4)
+
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("timestamp").desc, col("event_id").desc)
+    val batch = events
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("epoch_s"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cols = Seq("user_id", "event_id", "epoch_s", "event_type", "cents").map(col)
+    assert(r2.select(cols: _*).except(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).except(r2.select(cols: _*)).isEmpty,
+      "resumed upsert table must equal the batch dedupe over all files")
+    assert(r2.count() == batch.count())
+    // table is genuinely bucketed: multiple partitions, no driver funnel
+    val layer = new graft.table.ManifestTableLayer(s"$base/table")
+    assert(layer.currentPartitions().map(_.key).forall(_.startsWith("latest/bucket=")))
+    assert(layer.currentPartitions().size > 1)
   }
 
   test("foreachBatch MERGE sink resumes across query restarts == batch rollup") {
