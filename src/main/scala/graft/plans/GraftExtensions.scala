@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LshBucket(exprs)))
+    // chunk_hashes(vec, nChunks): codegen'd cosine-near-dup blocking keys
+    ext.injectFunction((
+      FunctionIdentifier("chunk_hashes"),
+      new ExpressionInfo(classOf[ChunkHashes].getName, "chunk_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ChunkHashes(exprs)))
     // post-hoc resolution (not optimizer): the rewrite needs the chunk
     // table's t0/t_max in the Generate child's output, which the
     // optimizer's ColumnPruning removes before extended optimizer rules

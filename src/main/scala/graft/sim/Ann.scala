@@ -451,6 +451,20 @@ object Ann {
     * narrow rows — and the wide vectors are only joined back for the
     * surviving candidate ids, mirroring minhashNearDups.
     */
+  /** Catalyst-tree formulation of the per-chunk blocking hashes —
+    * retained as the bitwise parity reference for the codegen'd
+    * `chunk_hashes` kernel (AnnSpec): array of nChunks xxhash64 values,
+    * chunk c = hash of the decimal-','-joined quantized slice
+    * [c*per, (c+1)*per), per = ceil(len / nChunks).
+    */
+  private[graft] def chunkHashColumns(vec: Column, nChunks: Int): Column = {
+    val qv = transform(vec, x => qint(x))
+    val per = ceil(size(vec).cast("double") / nChunks).cast("int")
+    array((0 until nChunks).map { c =>
+      xxhash64(concat_ws(",", slice(qv, lit(c) * per + 1, per)))
+    }: _*)
+  }
+
   def cosineNearDups(
       vectors: DataFrame,
       idCol: String,
@@ -458,19 +472,12 @@ object Ann {
       threshold: Double,
       nChunks: Int = 4
   ): DataFrame = {
-    val qvec = transform(col(vecCol), x => qint(x))
-    // per-chunk width from the row's own vector length (no fixed dims)
-    val per = ceil(size(col(vecCol)).cast("double") / nChunks).cast("int")
+    // codegen'd blocking kernel: quantize once, render + hash each chunk
+    // in primitive loops (bitwise == chunkHashColumns, parity-tested)
     val chunked = vectors
-      .select(col(idCol).as("_id"), col(vecCol), qvec.as("_qv"), per.as("_per"))
-      .select(col("_id"),
-        explode(array((0 until nChunks).map { c =>
-          struct(lit(c).as("chunk_idx"),
-            xxhash64(concat_ws(",",
-              slice(col("_qv"), lit(c) * col("_per") + 1, col("_per"))))
-              .as("chunk_hash"))
-        }: _*)).as("c"))
-      .select(col("_id"), col("c.chunk_idx"), col("c.chunk_hash"))
+      .select(col(idCol).as("_id"),
+        posexplode(call_function("chunk_hashes", col(vecCol), lit(nChunks))))
+      .select(col("_id"), col("pos").as("chunk_idx"), col("col").as("chunk_hash"))
     val l = chunked.select(col("chunk_idx"), col("chunk_hash"), col("_id").as("id_a"))
     val r = chunked.select(col("chunk_idx"), col("chunk_hash"), col("_id").as("id_b"))
     val cand = l.join(r, Seq("chunk_idx", "chunk_hash"))

@@ -163,4 +163,24 @@ class AnnSpec extends AnyFunSuite {
     assert(both.nonEmpty)
     both.foreach { case (id, f, r) => assert(f == r, s"vec $id: $f != $r") }
   }
+
+  test("codegen'd chunk_hashes == Catalyst reference, bitwise, incl. ragged tails") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    // 64-dim fixture plus a truncated 13-dim variant: 13/4 -> per=4 with a
+    // 1-element last chunk, exercising the short-slice path
+    val ragged = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 13).as("embedding"))
+    for (frame <- Seq(emb, ragged); n <- Seq(3, 4)) {
+      val both = frame.select(
+          col("vec_id"),
+          call_function("chunk_hashes", col("embedding"), lit(n)).as("fast"),
+          Ann.chunkHashColumns(col("embedding"), n).as("ref"))
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+      assert(both.nonEmpty)
+      both.foreach { case (id, f, r) =>
+        assert(f == r, s"vec $id nChunks $n: $f != $r")
+      }
+    }
+  }
 }
