@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.text.TextOps
 import graft.ingest.Pages
 import graft.multimodal.Multimodal
-import graft.streaming.StreamingRollup
+import graft.streaming.{StreamingDedup, StreamingRollup}
 
 /** Training-data-pipeline queries over `documents` (and the synthesized
   * pages for multimodal): dedup, language ID, quality, token stats,
@@ -232,6 +232,24 @@ object TextQueries {
         s"$root/table", s"$root/ckpt")
     }),
 
+    // streaming exact dedup (crawl-time "seen before?"): content-hash
+    // keyed state across micro-batches (one file per trigger), drained
+    // through the hash-bucketed MERGE sink — final table == the batch
+    // exact-dedup answer regardless of arrival order
+    "q_stream_dedup" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get(Scratch.dir("stream_dedup"))
+      if (java.nio.file.Files.exists(root)) {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally st.close()
+      }
+      docsWithDups(s, dir).repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      StreamingDedup.dedupExactMerged(s, s"$root/src", "*.parquet",
+        s"$root/table", s"$root/ckpt", maxFilesPerTrigger = 1)
+    }),
+
     // stateful streaming upsert (flatMapGroupsWithState): latest event
     // per user, state carried across micro-batches, drained through the
     // PRODUCTION sink — foreachBatch MERGE into a user-hash-bucketed
@@ -250,6 +268,12 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical truth as q_dedup_exact: the streaming path must converge
+    // to the batch dedup once the source drains
+    "q_stream_dedup" ->
+      (s"SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper, " +
+        s"count(*) AS n_copies FROM $DOCS_DUP d GROUP BY 1"),
+
     "q_dedup_exact" ->
       (s"SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper, " +
         s"count(*) AS n_copies FROM $DOCS_DUP d GROUP BY 1"),

@@ -86,6 +86,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(layer.currentPartitions().size > 1)
   }
 
+  test("streaming dedup resumes across restarts == batch exact dedup (kill/resume)") {
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-dedup-").toString
+    val srcDir = s"$base/src"
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    // inject exact dups ACROSS the two runs: run 1 gets the originals,
+    // run 2 the copies — the cumulative per-hash state must bridge the
+    // restart for n_copies to come out right
+    docs.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val r1 = graft.streaming.StreamingDedup.dedupExactMerged(spark, srcDir,
+      "*.parquet", s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    assert(r1.count() > 0)
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .repartition(2).write.mode("append").parquet(srcDir)
+    val r2 = graft.streaming.StreamingDedup.dedupExactMerged(spark, srcDir,
+      "*.parquet", s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+
+    val batch = graft.text.TextOps.exactDedupe(
+      spark.read.parquet(srcDir), "doc_id", "text")
+    val cols = Seq("h", "keeper", "n_copies").map(col)
+    assert(r2.select(cols: _*).except(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).except(r2.select(cols: _*)).isEmpty,
+      "resumed dedup table must equal the batch exact dedup")
+    assert(r2.count() == batch.count())
+    // dup rows really did land in run 2: their hashes show n_copies == 2
+    assert(r2.filter(col("n_copies") === 2).count() ==
+      docs.filter(col("doc_id") % 10 === 0).count())
+  }
+
   test("foreachBatch MERGE sink resumes across query restarts == batch rollup") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(
