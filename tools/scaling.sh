@@ -20,6 +20,11 @@ export SPARK_GRAFT_BENCH_DAYS=$DAYS
 # have millions of hosts; 97 domains would starve downstream tiers of work)
 export SPARK_GRAFT_BENCH_DOMAINS=${DOMAINS:-9973}
 export SPARK_GRAFT_STAGES_ONLY=1
+# protocol parity with BASELINE.md: the driver bench's in-window fs sync
+# (honest per-stage writeback attribution) charges local[32] ~4.8 s that
+# the baseline numbers never carried and skews cross-level efficiency --
+# scaling runs measure without it
+export SPARK_GRAFT_NO_SYNC=1
 export SPARK_GRAFT_SF_DIR=$SF
 FIRST=1
 for P in $LEVELS; do
