@@ -70,6 +70,42 @@ class PlansSpec extends AnyFunSuite {
     assert(decoded.count() == base.count())
   }
 
+  test("kernel argument bounds are analysis errors, not row-eval crashes") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    def analyze(c: org.apache.spark.sql.Column): Unit =
+      emb.select(c).queryExecution.analyzed
+    // lsh_bucket: nPlanes <= 0 would cache an empty plane table (second
+    // row dereferences cur(0)); > 63 wraps the 1L << j bucket bit
+    for (bad <- Seq(0, -1, 64)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        analyze(call_function("lsh_bucket", col("embedding"), lit(bad)))
+      }
+      assert(e.getMessage.contains("lsh_bucket"), e.getMessage)
+    }
+    // chunk_hashes: nChunks must be a positive literal
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      analyze(call_function("chunk_hashes", col("embedding"), lit(0)))
+    }
+    assert(e2.getMessage.contains("chunk_hashes"), e2.getMessage)
+    // ivf_best_cell: wrong qcents shape fails analysis, not eval
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      analyze(call_function("ivf_best_cell", col("embedding"),
+        typedLit(Seq(0L)), typedLit(Seq(Seq(0.5))), typedLit(Seq(1L))))
+    }
+    assert(e3.getMessage.contains("ivf_best_cell"), e3.getMessage)
+    // valid bounds still analyze
+    analyze(call_function("lsh_bucket", col("embedding"), lit(63)))
+    analyze(call_function("chunk_hashes", col("embedding"), lit(4)))
+  }
+
+  test("cosineNearDups blocking stage plans the codegen'd chunk_hashes kernel") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val plan = graft.sim.Ann.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.9).queryExecution.optimizedPlan.toString
+    assert(plan.contains("chunk_hashes"), plan)
+    assert(!plan.contains("transform("), plan) // no interpreted lambda left
+  }
+
   test("top-k paths plan as TakeOrderedAndProject, never an unpartitioned window over the corpus") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
