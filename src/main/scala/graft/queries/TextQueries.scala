@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.text.TextOps
 import graft.ingest.Pages
 import graft.multimodal.Multimodal
-import graft.streaming.{StreamingDedup, StreamingRollup}
+import graft.streaming.{StreamingDedup, StreamingNearDup, StreamingRollup}
 
 /** Training-data-pipeline queries over `documents` (and the synthesized
   * pages for multimodal): dedup, language ID, quality, token stats,
@@ -250,6 +250,30 @@ object TextQueries {
         s"$root/table", s"$root/ckpt", maxFilesPerTrigger = 1)
     }),
 
+    // streaming MinHash+LSH near-dup: band-bucket state across
+    // micro-batches emits candidate pairs as the later document arrives;
+    // MERGE candidate table + batch exact-Jaccard verify == the batch
+    // minhashNearDups answer. Oracle: same banding+verify mirror as
+    // q_minhash_pairs, over a batch-computed signature dump of the same
+    // files (the codegen'd signature is deterministic, so the dump is
+    // bit-identical to what the stream banded).
+    "q_stream_minhash" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get(Scratch.dir("stream_minhash"))
+      if (java.nio.file.Files.exists(root)) {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally st.close()
+      }
+      docsWithNearDups(s, dir).repartition(4)
+        .write.mode("overwrite").parquet(s"$root/src")
+      TextOps.minhashSigTable(
+          s.read.parquet(s"$root/src"), "doc_id", "text", 16)
+        .write.mode("overwrite").parquet(Scratch.dir("stream_minhash_sigs"))
+      StreamingNearDup.nearDupsMerged(s, s"$root/src", "*.parquet",
+        s"$root/table", s"$root/ckpt", maxFilesPerTrigger = 1)
+    }),
+
     // stateful streaming upsert (flatMapGroupsWithState): latest event
     // per user, state carried across micro-batches, drained through the
     // PRODUCTION sink — foreachBatch MERGE into a user-hash-bucketed
@@ -388,6 +412,35 @@ object TextQueries {
         |           FROM documents WHERE doc_id % 7 = 0),
         |sigs AS (SELECT doc, sig
         |  FROM read_parquet('${Scratch.dir("minhash_sigs")}/*.parquet')),
+        |banded AS (SELECT doc, bi AS band_idx,
+        |    array_to_string(sig[bi*4+1:bi*4+4], ',') AS band_key
+        |  FROM sigs, (SELECT UNNEST([0, 1, 2, 3]) AS bi) t),
+        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |  WHERE a.doc < b.doc),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tk),
+        |j AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / len(list_distinct(sa.s || sb.s)) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+        |            JOIN sh sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    // identical banding+verify mirror as q_minhash_pairs, over the sig
+    // dump of the streaming fixture files — the streaming candidate path
+    // must converge to the batch LSH answer
+    "q_stream_minhash" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents UNION ALL
+        |           SELECT doc_id + 200000, text || ' graft trailer token'
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |sigs AS (SELECT doc, sig
+        |  FROM read_parquet('${Scratch.dir("stream_minhash_sigs")}/*.parquet')),
         |banded AS (SELECT doc, bi AS band_idx,
         |    array_to_string(sig[bi*4+1:bi*4+4], ',') AS band_key
         |  FROM sigs, (SELECT UNNEST([0, 1, 2, 3]) AS bi) t),

@@ -117,6 +117,37 @@ class StreamingSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 10 === 0).count())
   }
 
+  test("streaming near-dup resumes across restarts == batch minhash LSH (kill/resume)") {
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-neardup-").toString
+    val srcDir = s"$base/src"
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    // run 1: originals only — no near-dup partner has arrived yet
+    docs.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val r1 = graft.streaming.StreamingNearDup.nearDupsMerged(spark, srcDir,
+      "*.parquet", s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    // run 2: the near-dup copies arrive AFTER the restart — every
+    // (original, copy) pair requires the band state saved by run 1
+    docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graft trailer token")).as("text"))
+      .repartition(2).write.mode("append").parquet(srcDir)
+    val r2 = graft.streaming.StreamingNearDup.nearDupsMerged(spark, srcDir,
+      "*.parquet", s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+
+    val batch = graft.text.TextOps.minhashNearDups(
+      spark.read.parquet(srcDir), "doc_id", "text",
+      k = 16, bands = 4, threshold = 0.5)
+    val cols = Seq("doc_a", "doc_b", "jaccard").map(col)
+    assert(r2.select(cols: _*).except(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).except(r2.select(cols: _*)).isEmpty,
+      "resumed near-dup pairs must equal the batch LSH answer")
+    assert(r2.count() == batch.count() && r2.count() > 0)
+    // the planted pairs really cross the restart boundary
+    assert(r2.filter(col("doc_b") === col("doc_a") + 200000).count() > 0)
+  }
+
   test("foreachBatch MERGE sink resumes across query restarts == batch rollup") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(
