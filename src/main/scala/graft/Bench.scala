@@ -195,6 +195,32 @@ object Bench {
           spark.read.parquet(chunksPath).as[ChunkWriter.FlatChunk]))
       }
     }
+    // Adaptive tail for the chained tiers: they converge slowest under
+    // the JIT bimodality (BENCH.md) and their 3-warm minimum is often
+    // still falling — re-sample JUST these two cheap stages (inputs
+    // already on disk) until the min stops improving by >= 8%, max 4
+    // extra rounds. A stuck-slow JVM plateaus immediately (no wasted
+    // work); a slow-converging one reaches its real steady state.
+    if (iters > 1) {
+      var extra = 0
+      var improving = true
+      while (extra < 4 && improving) {
+        val before = times("stage_rollup_1h")
+        timed("stage_rollup_1h") {
+          TimeSeriesOps.chainTier(
+              spark.read.parquet(t15Path), Seq("domain", "metric"), 3600)
+            .write.mode("overwrite").parquet(t1hPath)
+        }
+        timed("stage_rollup_1d") {
+          TimeSeriesOps.chainTier(
+              spark.read.parquet(t1hPath), Seq("domain", "metric"), 86400)
+            .write.mode("overwrite").parquet(t1dPath)
+        }
+        improving = times("stage_rollup_1h") < before * 0.92
+        extra += 1
+      }
+    }
+
     detail("input_points") = nPoints.toString
 
     val chunkStats = spark.read.parquet(chunksPath)
