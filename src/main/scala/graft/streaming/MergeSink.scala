@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.table.{ManifestTableLayer, PartitionMeta}
+
+/** The shared `foreachBatch` copy-on-write MERGE sink used by every
+  * streaming path (hourly rollup, latest-per-user upsert, exact dedup,
+  * near-dup candidates). One micro-batch is merged into its bucketed
+  * snapshot table with a CONSTANT number of Spark jobs — three —
+  * regardless of how many buckets the batch touches:
+  *
+  *   1. touched-bucket discovery (also materializes the incoming cache),
+  *   2. ONE dynamic-partition write of the merged contents of ALL touched
+  *      buckets (`partitionBy` over the routing column — the same
+  *      all-partitions-in-one-job shape the chunk-store compaction uses),
+  *   3. per-bucket row counts from the merged cache (one aggregate job;
+  *      file sizes come from a driver-side fs listing, not a re-read).
+  *
+  * The whole batch then commits as ONE snapshot. The previous shape — a
+  * sequential `buckets.foreach` launching a write job plus a parquet
+  * re-read `count()` job per bucket from the driver — is invisible at
+  * nBuckets=16 but driver-serialized job launches dominate batch latency
+  * once a cluster batch touches hundreds of day/bucket partitions.
+  *
+  * Retention: with `expireEvery > 0` the sink calls
+  * `expireSnapshots(keepLast)` every N batches, so a long-running stream
+  * keeps a bounded number of `b<batchId>` staging dirs on disk instead of
+  * one per touched bucket per batch forever. Expiry never touches live
+  * data (every current partition is referenced by the latest snapshot)
+  * and replaying a batch after a crash re-runs an idempotent expire.
+  */
+object MergeSink {
+
+  /** Reserved routing column: callers attach it (as a STRING — a day like
+    * "2024-01-03" or a rendered bucket number) to each incoming row; the
+    * partition key is `keyPrefix + value`. Dropped from the stored files
+    * by the `partitionBy` write, exactly like the per-bucket loops it
+    * replaces dropped their `bucket` column.
+    */
+  val BucketCol = "mbk"
+
+  /** MERGE one micro-batch into the layer.
+    *
+    * @param incoming  the batch, carrying [[BucketCol]]
+    * @param keyPrefix partition key = keyPrefix + bucket value
+    *                  (e.g. "dedup/bucket=", "tier=1h/day=")
+    * @param merge     (existing, incoming) => merged rows, BucketCol
+    *                  preserved. Merge keys must be bucket-local (each
+    *                  key's rows land in exactly one bucket), which every
+    *                  caller guarantees by construction — the bucket IS a
+    *                  hash/date of the merge key — so a global window or
+    *                  anti-join inside `merge` equals the per-bucket one.
+    * @param expireEvery run `expireSnapshots(keepLast)` every N batches
+    *                  (0 = never; finite drains with AvailableNow keep
+    *                  full history for the duration of the run anyway)
+    */
+  def mergeBuckets(
+      spark: SparkSession,
+      layer: ManifestTableLayer,
+      incoming: DataFrame,
+      batchId: Long,
+      keyPrefix: String,
+      lineageTag: String,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      expireEvery: Int = 0,
+      keepLast: Int = 2
+  ): Unit = {
+    import spark.implicits._
+    val inc = incoming.persist()
+    try {
+      val buckets = inc.select(BucketCol).distinct().as[String].collect().sorted
+      if (buckets.isEmpty) return
+      val current = layer.currentPartitions().map(p => p.key -> p).toMap
+      // stored files carry the data columns only (BucketCol is in the dir
+      // name); reading them back with the explicit schema skips footer
+      // inference
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        inc.schema.filterNot(_.name == BucketCol))
+      val existing = buckets.toSeq.flatMap { b =>
+        current.get(keyPrefix + b).map(pm =>
+          spark.read.schema(dataSchema).parquet(pm.path)
+            .withColumn(BucketCol, lit(b)))
+      }.reduceOption(_ unionByName _).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], inc.schema))
+      val merged = merge(existing, inc).persist()
+      try {
+        // one dynamic-partition job writes every touched bucket
+        val stageDir = layer.dataDir(s"${keyPrefix.split("/").head}/b$batchId")
+        merged.write.partitionBy(BucketCol)
+          .mode("overwrite").parquet(stageDir.toString)
+        val counts = merged.groupBy(BucketCol).count()
+          .as[(String, Long)].collect().toMap
+        val added = buckets.toSeq.flatMap { b =>
+          val dir = stageDir.resolve(s"$BucketCol=$b")
+          if (!java.nio.file.Files.isDirectory(dir)) None
+          else {
+            val bytes = {
+              import scala.jdk.CollectionConverters._
+              val s = java.nio.file.Files.list(dir)
+              try s.iterator().asScala
+                .filter(p => java.nio.file.Files.isRegularFile(p))
+                .map(java.nio.file.Files.size).sum
+              finally s.close()
+            }
+            Some(PartitionMeta(keyPrefix + b, dir.toString,
+              counts.getOrElse(b, 0L), bytes, s"$lineageTag batch=$batchId"))
+          }
+        }
+        // one snapshot per batch; only keys actually re-written are swapped
+        layer.commit(added, added.map(_.key))
+        if (expireEvery > 0 && (batchId + 1) % expireEvery == 0)
+          layer.expireSnapshots(keepLast)
+      } finally merged.unpersist()
+    } finally inc.unpersist()
+  }
+
+  /** Keep, per `keys` group, the single best row by `order` — the
+    * window-dedupe merge every upsert-style sink uses (latest event,
+    * cumulative dedup counts). Formulated once here so the four sinks
+    * share it.
+    */
+  def keepBest(keys: Seq[String], order: Seq[org.apache.spark.sql.Column])(
+      existing: DataFrame, incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    existing.unionByName(incoming)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
+}

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -32,46 +31,17 @@ object StreamingDedup {
       layer: graft.table.ManifestTableLayer,
       batch: DataFrame,
       batchId: Long,
-      nBuckets: Int
+      nBuckets: Int,
+      expireEvery: Int = 0
   ): Unit = {
-    import spark.implicits._
-    val b = batch.select("h", "keeper", "n_copies")
-      .withColumn("bucket", pmod(xxhash64(col("h")), lit(nBuckets.toLong)))
-      .persist()
-    try {
-      val buckets = b.select("bucket").distinct().as[Long].collect().sorted
-      if (buckets.isEmpty) return
-      val current = layer.currentPartitions().map(p => p.key -> p).toMap
-      val w = Window.partitionBy("h")
-        .orderBy(col("n_copies").desc, col("keeper").asc)
-      buckets.foreach { bk =>
-        val key = s"dedup/bucket=$bk"
-        val batchBk = b.filter(col("bucket") === bk).drop("bucket")
-        val unioned = current.get(key) match {
-          case Some(pm) => spark.read.parquet(pm.path).unionByName(batchBk)
-          case None => batchBk
-        }
-        val merged = unioned
-          .withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") === 1).drop("_rk")
-        val outDir = layer.dataDir(key).resolve(s"b$batchId").toString
-        merged.write.mode("overwrite").parquet(outDir)
-        val written = spark.read.parquet(outDir)
-        val rows = written.count()
-        val bytes = {
-          import scala.jdk.CollectionConverters._
-          val s = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-          try s.iterator().asScala
-            .filter(p => java.nio.file.Files.isRegularFile(p))
-            .map(java.nio.file.Files.size).sum
-          finally s.close()
-        }
-        layer.commit(
-          Seq(graft.table.PartitionMeta(key, outDir, rows, bytes,
-            s"stream-dedup batch=$batchId")),
-          Seq(key))
-      }
-    } finally b.unpersist()
+    val inc = batch.select("h", "keeper", "n_copies")
+      .withColumn(MergeSink.BucketCol,
+        pmod(xxhash64(col("h")), lit(nBuckets.toLong)).cast("string"))
+    MergeSink.mergeBuckets(spark, layer, inc, batchId,
+      keyPrefix = "dedup/bucket=", lineageTag = "stream-dedup",
+      merge = MergeSink.keepBest(Seq("h"),
+        Seq(col("n_copies").desc, col("keeper").asc)),
+      expireEvery = expireEvery)
   }
 
   /** Streaming exact dedup over a documents directory: md5(text) keys the
@@ -86,7 +56,8 @@ object StreamingDedup {
       tableRoot: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 0,
-      nBuckets: Int = 16
+      nBuckets: Int = 16,
+      expireEvery: Int = 8
   ): DataFrame = {
     import spark.implicits._
     val layer = new graft.table.ManifestTableLayer(tableRoot)
@@ -114,7 +85,7 @@ object StreamingDedup {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) =>
-        mergeDedupBatch(spark, layer, batch, id, nBuckets))
+        mergeDedupBatch(spark, layer, batch, id, nBuckets, expireEvery))
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -21,57 +20,30 @@ object StreamingRollup {
     * (event_type, bucket_ts, n, sum_cents) into a day-partitioned
     * ManifestTableLayer: only the day partitions the batch touches are
     * rewritten (existing rows kept via anti-join, matching keys replaced
-    * by the batch's new values), then committed as a new snapshot. This is
-    * the cluster sink shape (Iceberg MERGE INTO is the same copy-on-write
-    * move); nothing accumulates on the driver — each day merge is a
-    * distributed job over one partition + the batch slice.
+    * by the batch's new values). This is the cluster sink shape (Iceberg
+    * MERGE INTO is the same copy-on-write move); nothing accumulates on
+    * the driver. All touched days merge in ONE distributed job + ONE
+    * snapshot commit per batch ([[MergeSink.mergeBuckets]]) — the
+    * affected-day count is bounded by the watermark horizon, but even a
+    * wide-horizon batch costs a constant number of job launches.
     */
   def mergeHourlyBatch(
       spark: SparkSession,
       layer: graft.table.ManifestTableLayer,
       batch: DataFrame,
-      batchId: Long
+      batchId: Long,
+      expireEvery: Int = 0
   ): Unit = {
-    import spark.implicits._
-    val b = batch.select("event_type", "bucket_ts", "n", "sum_cents")
-      .withColumn("day",
+    val inc = batch.select("event_type", "bucket_ts", "n", "sum_cents")
+      .withColumn(MergeSink.BucketCol,
         date_format(timestamp_seconds(col("bucket_ts")), "yyyy-MM-dd"))
-      .persist()
-    try {
-      // affected days are bounded by the watermark horizon, not the corpus
-      val days = b.select("day").distinct().as[String].collect().sorted
-      if (days.isEmpty) return
-      val current = layer.currentPartitions().map(p => p.key -> p).toMap
-      days.foreach { day =>
-        val key = s"tier=1h/day=$day"
-        val batchDay = b.filter(col("day") === day).drop("day")
-        val merged = current.get(key) match {
-          case Some(pm) =>
-            spark.read.parquet(pm.path)
-              .join(batchDay.select("event_type", "bucket_ts"),
-                Seq("event_type", "bucket_ts"), "left_anti")
-              .unionByName(batchDay)
-          case None => batchDay
-        }
-        val outDir = layer.dataDir(key).resolve(s"b$batchId").toString
-        merged.write.mode("overwrite").parquet(outDir)
-        // metrics from the committed files (footer-only count, fs sizes)
-        val written = spark.read.parquet(outDir)
-        val rows = written.count()
-        val bytes = {
-          import scala.jdk.CollectionConverters._
-          val s = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-          try s.iterator().asScala
-            .filter(p => java.nio.file.Files.isRegularFile(p))
-            .map(java.nio.file.Files.size).sum
-          finally s.close()
-        }
-        layer.commit(
-          Seq(graft.table.PartitionMeta(key, outDir, rows, bytes,
-            s"stream-merge batch=$batchId")),
-          Seq(key))
-      }
-    } finally b.unpersist()
+    MergeSink.mergeBuckets(spark, layer, inc, batchId,
+      keyPrefix = "tier=1h/day=", lineageTag = "stream-merge",
+      merge = (existing, incoming) =>
+        existing.join(incoming.select("event_type", "bucket_ts"),
+            Seq("event_type", "bucket_ts"), "left_anti")
+          .unionByName(incoming),
+      expireEvery = expireEvery)
   }
 
   /** Hourly streaming rollup through the PRODUCTION sink shape:
@@ -86,7 +58,8 @@ object StreamingRollup {
       glob: String,
       tableRoot: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 0
+      maxFilesPerTrigger: Int = 0,
+      expireEvery: Int = 8
   ): DataFrame = {
     val layer = new graft.table.ManifestTableLayer(tableRoot)
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
@@ -109,7 +82,7 @@ object StreamingRollup {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) =>
-        mergeHourlyBatch(spark, layer, batch, id))
+        mergeHourlyBatch(spark, layer, batch, id, expireEvery))
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
@@ -138,47 +111,18 @@ object StreamingRollup {
       layer: graft.table.ManifestTableLayer,
       batch: DataFrame,
       batchId: Long,
-      nBuckets: Int
+      nBuckets: Int,
+      expireEvery: Int = 0
   ): Unit = {
-    import spark.implicits._
-    val b = batch.select("user_id", "event_id", "epoch_us", "event_type", "cents")
-      .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)))
-      .persist()
-    try {
-      // touched buckets are bounded by nBuckets, never by user count
-      val buckets = b.select("bucket").distinct().as[Long].collect().sorted
-      if (buckets.isEmpty) return
-      val current = layer.currentPartitions().map(p => p.key -> p).toMap
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("epoch_us").desc, col("event_id").desc)
-      buckets.foreach { bk =>
-        val key = s"latest/bucket=$bk"
-        val batchBk = b.filter(col("bucket") === bk).drop("bucket")
-        val unioned = current.get(key) match {
-          case Some(pm) => spark.read.parquet(pm.path).unionByName(batchBk)
-          case None => batchBk
-        }
-        val merged = unioned
-          .withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") === 1).drop("_rk")
-        val outDir = layer.dataDir(key).resolve(s"b$batchId").toString
-        merged.write.mode("overwrite").parquet(outDir)
-        val written = spark.read.parquet(outDir)
-        val rows = written.count()
-        val bytes = {
-          import scala.jdk.CollectionConverters._
-          val s = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-          try s.iterator().asScala
-            .filter(p => java.nio.file.Files.isRegularFile(p))
-            .map(java.nio.file.Files.size).sum
-          finally s.close()
-        }
-        layer.commit(
-          Seq(graft.table.PartitionMeta(key, outDir, rows, bytes,
-            s"stream-upsert batch=$batchId")),
-          Seq(key))
-      }
-    } finally b.unpersist()
+    // touched buckets are bounded by nBuckets, never by user count
+    val inc = batch.select("user_id", "event_id", "epoch_us", "event_type", "cents")
+      .withColumn(MergeSink.BucketCol,
+        pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("string"))
+    MergeSink.mergeBuckets(spark, layer, inc, batchId,
+      keyPrefix = "latest/bucket=", lineageTag = "stream-upsert",
+      merge = MergeSink.keepBest(Seq("user_id"),
+        Seq(col("epoch_us").desc, col("event_id").desc)),
+      expireEvery = expireEvery)
   }
 
   /** Stateful streaming upsert through the PRODUCTION sink shape: latest
@@ -203,7 +147,8 @@ object StreamingRollup {
       tableRoot: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 0,
-      nBuckets: Int = 16
+      nBuckets: Int = 16,
+      expireEvery: Int = 8
   ): DataFrame = {
     import spark.implicits._
     val layer = new graft.table.ManifestTableLayer(tableRoot)
@@ -239,7 +184,7 @@ object StreamingRollup {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) =>
-        mergeLatestBatch(spark, layer, batch, id, nBuckets))
+        mergeLatestBatch(spark, layer, batch, id, nBuckets, expireEvery))
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()

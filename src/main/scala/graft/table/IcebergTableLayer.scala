@@ -53,12 +53,7 @@ class IcebergTableLayer(
       spark.sql(plan.head)
     } else {
       val staged = added.map { pm =>
-        val df = spark.read.parquet(pm.path)
-        pm.key.split("/").foldLeft(df) { (d, kv) =>
-          val Array(k, v) = kv.split("=", 2)
-          if (d.columns.contains(k)) d
-          else d.withColumn(k, org.apache.spark.sql.functions.lit(v))
-        }
+        IcebergTableLayer.stagePartition(spark.read.parquet(pm.path), pm.key)
       }.reduce(_ unionByName _)
       // delete-of-removed + replace-of-added in ONE atomic snapshot
       staged.writeTo(fq).overwrite(
@@ -126,6 +121,30 @@ object IcebergTableLayer {
         case Array(v) => s"tier = '$v'"
       }
     }.mkString(" AND ")
+
+  /** Stage one partition's rows for the commit overwrite: attach the
+    * partition columns derived from the layer key so the staged rows
+    * match `partitionKeySql(key)`'s predicate exactly. A `k=v` segment
+    * adds the column only if the data doesn't already carry it (rows
+    * written under "tier=15min/day=d" already say tier='15min'); a BARE
+    * segment (the Pipeline's namespace keys, e.g. "chunks-15min/day=d")
+    * maps to the `tier` partition column and must OVERWRITE any data-side
+    * tier — chunk rows carry tier='15min' in data, but live under the
+    * 'chunks-15min' namespace, and a mismatch would make the retention
+    * DELETE's predicate never match the rows it staged.
+    */
+  def stagePartition(
+      df: org.apache.spark.sql.DataFrame, key: String
+  ): org.apache.spark.sql.DataFrame =
+    key.split("/").foldLeft(df) { (d, kv) =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          if (d.columns.contains(k)) d
+          else d.withColumn(k, org.apache.spark.sql.functions.lit(v))
+        case Array(v) =>
+          d.withColumn("tier", org.apache.spark.sql.functions.lit(v))
+      }
+    }
 
   /** The REPLACE WHERE condition: ManifestTableLayer parity — only keys
     * in `removedKeys` are replaced; an added key NOT in removedKeys

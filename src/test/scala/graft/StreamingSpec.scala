@@ -148,6 +148,153 @@ class StreamingSpec extends AnyFunSuite {
     assert(r2.filter(col("doc_b") === col("doc_a") + 200000).count() > 0)
   }
 
+  test("advanceBand caps per-bucket state and flags saturation") {
+    import graft.streaming.StreamingNearDup.{BandState, advanceBand}
+    // under cap: pairs emitted, ids grow sorted
+    val (s1, p1, m1) = advanceBand(None, Seq(3L, 1L, 2L), cap = 8)
+    assert(s1 == BandState(Seq(1L, 2L, 3L), saturated = false))
+    assert(p1.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)) && !m1)
+    // repeat ids are not fresh; new id pairs against all seen
+    val (s2, p2, m2) = advanceBand(Some(s1), Seq(4L, 2L), cap = 8)
+    assert(s2.ids == Seq(1L, 2L, 3L, 4L))
+    assert(p2.toSet == Set((1L, 4L), (2L, 4L), (3L, 4L)) && !m2)
+    // would exceed cap: ids dropped, flagged, NO pair flood
+    val (s3, p3, m3) = advanceBand(Some(s2), Seq(10L, 11L, 12L, 13L, 14L), cap = 8)
+    assert(s3 == BandState(Seq.empty, saturated = true) && p3.isEmpty && m3)
+    // already saturated: stays flagged and empty forever
+    val (s4, p4, m4) = advanceBand(Some(s3), Seq(20L, 21L), cap = 8)
+    assert(s4 == BandState(Seq.empty, saturated = true) && p4.isEmpty && m4)
+    // the invariant the scale contract rests on: ids never exceed cap
+    assert(Seq(s1, s2, s3, s4).forall(_.ids.size <= 8))
+  }
+
+  test("degenerate band bucket saturates: bounded candidates, sweep preserves batch answer") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-satband-").toString
+    val srcDir = s"$base/src"
+    // a boilerplate cluster — 60 IDENTICAL docs (one band bucket per band
+    // holds all 60) — plus a normal near-dup pair and an unrelated doc
+    val deg = (0 until 60).map(i =>
+      (1000L + i, "parked domain placeholder page with no content to index"))
+    val normal = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally different content about streams and state machines"))
+    (deg ++ normal).toDF("doc_id", "text")
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+
+    val r = graft.streaming.StreamingNearDup.nearDupsMerged(spark, srcDir,
+      "*.parquet", s"$base/table", s"$base/ckpt",
+      maxFilesPerTrigger = 1, bucketCap = 8)
+    val batch = graft.text.TextOps.minhashNearDups(
+      spark.read.parquet(srcDir), "doc_id", "text",
+      k = 16, bands = 4, threshold = 0.5)
+    val cols = Seq("doc_a", "doc_b", "jaccard").map(col)
+    assert(r.select(cols: _*).except(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).except(r.select(cols: _*)).isEmpty,
+      "capped streaming + sweep must still equal the batch LSH answer")
+    // the degenerate cluster's 60*59/2 pairs ARE in the final answer...
+    assert(r.filter(col("doc_a") >= 1000 && col("doc_b") >= 1000).count() == 60L * 59 / 2)
+    // ...but the STREAMING candidate table never saw the quadratic flood
+    val layer = new graft.table.ManifestTableLayer(s"$base/table")
+    val candParts = layer.currentPartitions().filter(_.key.startsWith("cand/"))
+    val candCount =
+      if (candParts.isEmpty) 0L
+      else spark.read.parquet(candParts.map(_.path): _*)
+        .filter(col("doc_a") >= 1000 && col("doc_b") >= 1000).count()
+    assert(candCount <= 8L * 7 / 2,
+      s"streamed candidates for the degenerate cluster must stay cap-bounded, got $candCount")
+    // and the saturation marker is durable in the table
+    assert(layer.currentPartitions().exists(_.key.startsWith("satband/")))
+  }
+
+  test("MERGE sink runs a constant number of jobs per micro-batch, not per bucket") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-jobs-").toString
+    val layer = new graft.table.ManifestTableLayer(s"$base/table")
+    // 64 users over 16 buckets — every bucket touched
+    def batchDf(epoch: Long) = (0 until 64).map(u =>
+        (u.toLong, u.toLong * 10 + epoch, epoch, "t", 100L))
+      .toDF("user_id", "event_id", "epoch_us", "event_type", "cents")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def settled(): Int = {
+      var prev = -1; var cur = jobs.get()
+      while (cur != prev) { Thread.sleep(250); prev = cur; cur = jobs.get() }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the merge is 3 queries (bucket discovery, partitioned write,
+      // per-bucket counts); AQE materializes each shuffle stage as its
+      // own job, so "O(1)" lands at ~8 — the per-bucket loop it replaced
+      // ran 2 jobs PER bucket (write + count re-read), >= 32 here
+      StreamingRollup.mergeLatestBatch(spark, layer, batchDf(1L), 0L, nBuckets = 16)
+      val fresh = settled()
+      assert(fresh <= 10,
+        s"fresh-table merge of 16 buckets must be O(1) jobs, ran $fresh")
+      jobs.set(0)
+      // second batch exercises the read-existing-partitions path
+      StreamingRollup.mergeLatestBatch(spark, layer, batchDf(2L), 1L, nBuckets = 16)
+      val upsert = settled()
+      assert(upsert <= 10,
+        s"upsert merge of 16 existing buckets must be O(1) jobs, ran $upsert")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the merge itself is right: every user at epoch 2
+    assert(layer.read(spark).count() == 64)
+    assert(layer.read(spark).filter(col("epoch_us") === 2).count() == 64)
+  }
+
+  test("streaming retention bounds staging dirs across batches and survives resume") {
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-expire-").toString
+    val srcDir = s"$base/src"
+    val events = spark.read.parquet(s"${SparkTestSession.sf0001}/events.parquet")
+    val h = pmod(xxhash64(col("event_id")), lit(2))
+    // run 1: 6 micro-batches with aggressive expiry (every 2 batches)
+    events.filter(h === 0).repartition(6)
+      .write.mode("overwrite").parquet(srcDir)
+    StreamingRollup.latestEventPerUserMerged(spark, srcDir, "*.parquet",
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1, nBuckets = 4,
+      expireEvery = 2)
+    // run 2: resume ACROSS an expire with 6 more batches
+    events.filter(h === 1).repartition(6)
+      .write.mode("append").parquet(srcDir)
+    val r2 = StreamingRollup.latestEventPerUserMerged(spark, srcDir, "*.parquet",
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1, nBuckets = 4,
+      expireEvery = 2)
+    // disk is bounded: 12 batches would leave 12 staging dirs unexpired;
+    // retention keeps only those still referenced by the last snapshots
+    val stageDirs = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(s"$base/table/data/latest"))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("b"))
+      finally s.close()
+    }
+    assert(stageDirs <= 6,
+      s"expiry must bound staging dirs (12 batches ran, $stageDirs dirs kept)")
+    // correctness across kill/resume + expiry: still the batch dedupe
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("timestamp").desc, col("event_id").desc)
+    val batch = events
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("epoch_s"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cols = Seq("user_id", "event_id", "epoch_s", "event_type", "cents").map(col)
+    assert(r2.select(cols: _*).except(batch.select(cols: _*)).isEmpty)
+    assert(r2.count() == batch.count())
+  }
+
   test("foreachBatch MERGE sink resumes across query restarts == batch rollup") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(

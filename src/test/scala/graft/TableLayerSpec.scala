@@ -163,6 +163,31 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.currentPartitions().count(_.key.startsWith("tier=15min/")) == days.size - 1)
   }
 
+  test("Iceberg staging aligns rows with the partition-key predicate (incl. bare namespace keys)") {
+    import graft.table.IcebergTableLayer
+    // k=v segments: added only when the data doesn't already carry them
+    val base = Seq((1, "15min")).toDF("v", "tier")
+    val kv = IcebergTableLayer.stagePartition(
+      Seq((1, 2)).toDF("a", "b"), "tier=1h/day=2024-01-03")
+    assert(kv.columns.toSet == Set("a", "b", "tier", "day"))
+    assert(kv.select("tier", "day").head() ==
+      org.apache.spark.sql.Row("1h", "2024-01-03"))
+    // data-side tier wins for a tier=... key (rows already match predicate)
+    val keep = IcebergTableLayer.stagePartition(base, "tier=15min/day=d")
+    assert(keep.select("tier").head().getString(0) == "15min")
+    // BARE namespace segment: no MatchError, and tier is OVERWRITTEN so
+    // `partitionKeySql("chunks-15min/day=d")` matches the staged rows —
+    // chunk rows carry tier='15min' in data but live under the namespace
+    val ns = IcebergTableLayer.stagePartition(base, "chunks-15min/day=d")
+    assert(ns.select("tier").head().getString(0) == "chunks-15min")
+    assert(ns.select("day").head().getString(0) == "d")
+    assert(IcebergTableLayer.partitionKeySql("chunks-15min/day=d") ==
+      "tier = 'chunks-15min' AND day = 'd'")
+    // the staged frame satisfies its own key's predicate, row for row
+    assert(ns.filter(org.apache.spark.sql.functions.expr(
+      IcebergTableLayer.partitionKeySql("chunks-15min/day=d"))).count() == 1)
+  }
+
   test("checkpoint resume: crash mid-stage, rerun, result equals single run") {
     val rootA = freshRoot()
     val rootB = freshRoot()
