@@ -100,16 +100,34 @@ object Bench {
     // series ships in detail.iters_* so a slow sample is self-explaining.
     val samples =
       scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // per-SAMPLE sync + GC: the reported time is a min over samples, so
+    // its companions must come from the SAME sample — a last-sample GC
+    // next to a min-sample time describes two different iterations
+    // (round-4 advice), and splitting sync out lets rounds that timed
+    // writeback in-window (r4+) decompose against rounds that didn't (r3)
+    val syncSamples =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val gcSamples =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Long]]
+    val syncMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timed[T](name: String)(f: => T): T = {
       val g0 = gcMsNow()
       val t0 = System.nanoTime()
       val r = f
+      val sy0 = System.nanoTime()
       if (syncStages) new ProcessBuilder("sync").start().waitFor()
+      val syncS = (System.nanoTime() - sy0) / 1e9
       val s = (System.nanoTime() - t0) / 1e9
       samples(name) = samples.getOrElse(name, Nil) :+ s
-      val post = samples(name).drop(1)
+      syncSamples(name) = syncSamples.getOrElse(name, Nil) :+ syncS
+      gcSamples(name) = gcSamples.getOrElse(name, Nil) :+ (gcMsNow() - g0)
+      val all = samples(name)
+      val post = all.drop(1)
       times(name) = if (post.nonEmpty) post.min else s
-      gcMs(name) = gcMsNow() - g0
+      // attribute GC/sync of the sample that PRODUCED the reported time
+      val idx = if (post.nonEmpty) all.lastIndexOf(post.min) else 0
+      gcMs(name) = gcSamples(name)(idx)
+      syncMs(name) = (syncSamples(name)(idx) * 1000).round
       r
     }
 
@@ -195,28 +213,57 @@ object Bench {
           spark.read.parquet(chunksPath).as[ChunkWriter.FlatChunk]))
       }
     }
-    // Adaptive tail for the chained tiers: they converge slowest under
-    // the JIT bimodality (BENCH.md) and their 3-warm minimum is often
-    // still falling — re-sample JUST these two cheap stages (inputs
-    // already on disk) until the min stops improving by >= 8%, max 4
-    // extra rounds. A stuck-slow JVM plateaus immediately (no wasted
-    // work); a slow-converging one reaches its real steady state.
+    // Adaptive tail: stages whose 3-warm minimum is often STILL falling
+    // (the chained tiers under the JIT bimodality — BENCH.md — plus
+    // tier-0 and the generic gap-fill, whose r4 iteration series were
+    // still descending at iteration 4). Each is re-sampled independently
+    // until its min stops improving by >= 8%, max 4 extra rounds — a
+    // stuck-slow JVM plateaus immediately (no wasted work); a
+    // slow-converging one reaches its real steady state and its
+    // iters_* series ends flat.
     if (iters > 1) {
+      val resample: Seq[(String, () => Unit)] = Seq(
+        "stage_rollup_15min" -> (() => {
+          timed("stage_rollup_15min") {
+            Pipeline.tier15FromPages(pages)
+              .write.mode("overwrite").parquet(t15Path)
+          }; ()
+        }),
+        "stage_rollup_1h" -> (() => {
+          timed("stage_rollup_1h") {
+            TimeSeriesOps.chainTier(
+                spark.read.parquet(t15Path), Seq("domain", "metric"), 3600)
+              .write.mode("overwrite").parquet(t1hPath)
+          }; ()
+        }),
+        "stage_rollup_1d" -> (() => {
+          timed("stage_rollup_1d") {
+            TimeSeriesOps.chainTier(
+                spark.read.parquet(t1hPath), Seq("domain", "metric"), 86400)
+              .write.mode("overwrite").parquet(t1dPath)
+          }; ()
+        }),
+        "stage_gapfill_interp" -> (() => {
+          val t15b = spark.read.parquet(t15Path)
+          timed("stage_gapfill_interp") {
+            force(GapFill.interpolate(
+              GapFill.densify(
+                t15b.filter(col("metric") === "text_chars")
+                  .select(col("domain"), col("bucket_ts"), col("mean_v")),
+                Seq("domain"), "bucket_ts", 900),
+              Seq("domain"), "bucket_ts", "mean_v", 8,
+              concat(col("domain"), lit("_interp")),
+              denseGridPeriod = Some(900L)))
+          }; ()
+        }))
+      var pending = resample
       var extra = 0
-      var improving = true
-      while (extra < 4 && improving) {
-        val before = times("stage_rollup_1h")
-        timed("stage_rollup_1h") {
-          TimeSeriesOps.chainTier(
-              spark.read.parquet(t15Path), Seq("domain", "metric"), 3600)
-            .write.mode("overwrite").parquet(t1hPath)
+      while (extra < 4 && pending.nonEmpty) {
+        pending = pending.filter { case (name, run) =>
+          val before = times(name)
+          run()
+          times(name) < before * 0.92
         }
-        timed("stage_rollup_1d") {
-          TimeSeriesOps.chainTier(
-              spark.read.parquet(t1hPath), Seq("domain", "metric"), 86400)
-            .write.mode("overwrite").parquet(t1dPath)
-        }
-        improving = times("stage_rollup_1h") < before * 0.92
         extra += 1
       }
     }
@@ -334,12 +381,19 @@ object Bench {
     // totals split so rounds stay comparable when the headline-query SET
     // grows: stage_total is the BASELINE.md end-to-end rollup metric and
     // EXCLUDES the one-time index builds (reported on their own line)
-    // per-block driver GC: "name:ms" for every block that saw any
+    // per-block driver GC / in-window sync, both taken from the SAME
+    // sample that produced the reported min: "name:ms" pairs. sync_ms is
+    // what decomposes a stage column into compute+sync when comparing
+    // against rounds that ran SPARK_GRAFT_NO_SYNC (r3-era numbers)
     detail("gc_ms") = gcMs.filter(_._2 > 0)
       .map { case (k, v) => s"$k:$v" }.mkString(";")
-    // full iteration series for multi-sampled stages (bimodality diag)
+    detail("sync_ms") = syncMs.filter(_._2 > 0)
+      .map { case (k, v) => s"$k:$v" }.mkString(";")
+    // full iteration series for multi-sampled stages (bimodality diag),
+    // with the matching per-sample GC series
     samples.filter(_._2.length > 1).foreach { case (k, v) =>
       detail(s"iters_$k") = v.map(s => f"$s%.2f").mkString(",")
+      detail(s"iters_gc_$k") = gcSamples(k).mkString(",")
     }
     detail("stage_total_s") =
       f"${times.filter(t => t._1.startsWith("stage") && !t._1.endsWith("_build")).values.sum}%.2f"

@@ -41,11 +41,15 @@ object SimQueries {
       res
     }),
 
+    // IVF with Lloyd-trained centroids. Training is engine-native (like
+    // the LSH bucket hash); the TRAINED centroid table is dumped and the
+    // oracle mirrors assignment + probe + scoring from that very dump.
     "q_ann_ivf" -> ((s, dir) =>
       Ann.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", queryId = 0L, k = 10,
-        nCentroids = 20, nProbe = 4)
+        nCentroids = 20, nProbe = 4,
+        centroidSink = Some(Scratch.dir("ivf_cents")))
         .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
 
     // same probe through the MATERIALIZED index (corpus partitioned by
@@ -79,7 +83,8 @@ object SimQueries {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.ivfTopKBatch(emb, "vec_id", "embedding",
           emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
-          k = 5, nCentroids = 20, nProbe = 4)
+          k = 5, nCentroids = 20, nProbe = 4,
+          centroidSink = Some(Scratch.dir("ivf_cents_batch")))
         .select(col("query_id"), col("vec_id"), col("cos"),
           col("rk").cast("long").as("rk"))
     }),
@@ -146,22 +151,34 @@ object SimQueries {
       .unionByName(pert)
   }
 
-  /** Shared IVF oracle (direct and indexed paths compute the same result). */
-  private val IvfSql: String =
-    """WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
+  /** Shared CTE prefix of the IVF oracles: quantized corpus components,
+    * the TRAINED centroid table (read from the ENGINE's dump — training
+    * is engine-native, everything downstream is mirrored exactly),
+    * quantized centroid components, norms, per-(vector, cell) cosines
+    * (division shape mirrors Ann.cosineQ: dot / sqrt(n2_vec) /
+    * sqrt(n2_cent), bitwise identical doubles), and the nearest-cell
+    * assignment with the engine's (cos DESC, cell ASC) tie-break.
+    */
+  private def ivfCtes(centDir: String): String =
+    s"""WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
       |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
-      |cents AS (SELECT vec_id AS cell FROM (
-      |  SELECT vec_id, ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h
-      |  FROM embeddings ORDER BY h, vec_id LIMIT 20) t),
+      |cents AS (SELECT _cell AS cell, CAST(round(UNNEST(_cv) * 1048576.0) AS BIGINT) AS qc,
+      |                 generate_subscripts(_cv, 1) AS i
+      |          FROM read_parquet('$centDir/*.parquet')),
+      |cn2 AS (SELECT cell, CAST(sum(qc*qc) AS BIGINT) AS n2 FROM cents GROUP BY 1),
       |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
-      |vc AS (SELECT v.vec_id, c.vec_id AS cell, CAST(sum(v.qe * c.qe) AS BIGINT) AS dot
-      |       FROM ex v JOIN ex c ON v.i = c.i JOIN cents ON c.vec_id = cents.cell GROUP BY 1, 2),
-      |vcc AS (SELECT vc.vec_id, cell,
-      |          CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos
-      |        FROM vc JOIN n2 nv ON nv.vec_id = vc.vec_id JOIN n2 nc ON nc.vec_id = vc.cell),
+      |vc AS (SELECT v.vec_id, c.cell, CAST(sum(v.qe * c.qc) AS BIGINT) AS dot
+      |       FROM ex v JOIN cents c ON v.i = c.i GROUP BY 1, 2),
+      |vcc AS (SELECT vc.vec_id, vc.cell,
+      |          CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(cn2.n2 AS DOUBLE)) AS cos
+      |        FROM vc JOIN n2 nv ON nv.vec_id = vc.vec_id JOIN cn2 ON cn2.cell = vc.cell),
       |assigned AS (SELECT vec_id, cell FROM (
       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk
-      |  FROM vcc) WHERE rk = 1),
+      |  FROM vcc) WHERE rk = 1)""".stripMargin
+
+  /** Single-query IVF oracle over a dumped trained-centroid table. */
+  private def ivfSqlFromDump(centDir: String): String =
+    s"""${ivfCtes(centDir)},
       |probes AS (SELECT cell FROM vcc WHERE vec_id = 0 ORDER BY cos DESC, cell LIMIT 4),
       |vq AS (SELECT v.vec_id, CAST(sum(v.qe * q.qe) AS BIGINT) AS dot
       |       FROM ex v JOIN ex q ON v.i = q.i AND q.vec_id = 0
@@ -219,30 +236,18 @@ object SimQueries {
         |  FROM scored) r
         |WHERE rk <= 10""".stripMargin,
 
-    // IVF replicated exactly: deterministic FIXED-COUNT centroid sample
-    // (20 smallest Knuth-mixed ids — corpus-size-independent), nearest-
-    // centroid assignment, 4-probe, exact scoring inside probes. Division
-    // shapes mirror Ann.cosineQ (dot / sqrt(n2_left) / sqrt(n2_right)) so
-    // the doubles are bitwise identical.
-    "q_ann_ivf" -> IvfSql,
-    "q_ann_ivf_indexed" -> IvfSql,
+    // IVF replicated exactly downstream of TRAINING: the trained centroid
+    // table (engine dump), nearest-centroid assignment, 4-probe, exact
+    // scoring inside probes. Division shapes mirror Ann.cosineQ
+    // (dot / sqrt(n2_left) / sqrt(n2_right)) so the doubles are bitwise
+    // identical. Direct and indexed paths dump to different dirs but
+    // compute the same result.
+    "q_ann_ivf" -> ivfSqlFromDump(Scratch.dir("ivf_cents")),
+    "q_ann_ivf_indexed" -> ivfSqlFromDump(s"${Scratch.dir("ivf_index")}/centroids"),
 
     // batched IVF: same assignment CTEs, per-query probes + per-query rank
     "q_ann_ivf_batch" ->
-      """WITH ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
-        |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |cents AS (SELECT vec_id AS cell FROM (
-        |  SELECT vec_id, ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h
-        |  FROM embeddings ORDER BY h, vec_id LIMIT 20) t),
-        |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
-        |vc AS (SELECT v.vec_id, c.vec_id AS cell, CAST(sum(v.qe * c.qe) AS BIGINT) AS dot
-        |       FROM ex v JOIN ex c ON v.i = c.i JOIN cents ON c.vec_id = cents.cell GROUP BY 1, 2),
-        |vcc AS (SELECT vc.vec_id, cell,
-        |          CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos
-        |        FROM vc JOIN n2 nv ON nv.vec_id = vc.vec_id JOIN n2 nc ON nc.vec_id = vc.cell),
-        |assigned AS (SELECT vec_id, cell FROM (
-        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk
-        |  FROM vcc) WHERE rk = 1),
+      s"""${ivfCtes(Scratch.dir("ivf_cents_batch"))},
         |probes AS (SELECT vec_id AS query_id, cell FROM (
         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS prk
         |  FROM vcc WHERE vec_id IN (0, 1, 2)) WHERE prk <= 4),

@@ -234,13 +234,22 @@ object TimeSeriesOps {
             .over(wb))) { (d, v) =>
         d.withColumn(inC(v), last(col(rvC(v)), ignoreNulls = true).over(wb))
       }
-    // per-(key, bucket) tails of the right side, over ALL buckets present
-    val tails = u.groupBy((keyCols :+ bktC).map(col): _*)
+    // per-(key, bucket) tails of the right side, over ALL buckets present.
+    // When the broadcast guard probes its size (the default path), the
+    // frame is persisted FIRST so the probe's count and the carry's later
+    // evaluation share one aggregation pass instead of each re-running the
+    // full union + group-by lineage. tails is key x bucket sized — orders
+    // of magnitude smaller than the inputs — so the pinned footprint is
+    // negligible and LRU-evicted once idle (same contract as the pinned
+    // signature table in TextOps.minhashNearDups).
+    val probeNeeded = carryBroadcastMaxRows > 0
+    val tails0 = u.groupBy((keyCols :+ bktC).map(col): _*)
       .agg(
         max(when(col(islC) === 0, col(atsC))).as(tLastC),
         valueCols.map(v =>
           max_by(col(rvC(v)), when(col(islC) === 0, col(atsC)))
             .as(vC(v))): _*)
+    val tails = if (probeNeeded) tails0.persist() else tails0
     // carry-in = latest tail of any STRICTLY EARLIER bucket (one row per
     // key x bucket)
     val wc = Window.partitionBy(keyCols.map(col): _*)
