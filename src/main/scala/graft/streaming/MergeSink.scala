@@ -86,8 +86,17 @@ object MergeSink {
           spark.sparkContext.emptyRDD[Row], inc.schema))
       val merged = merge(existing, inc).persist()
       try {
-        // one dynamic-partition job writes every touched bucket
-        val stageDir = layer.dataDir(s"${keyPrefix.split("/").head}/b$batchId")
+        // one dynamic-partition job writes every touched bucket. The
+        // stage dir must be FRESH: a replayed batch (foreachBatch is
+        // at-least-once) would otherwise overwrite — delete-first — the
+        // very files its merge plan is lazily reading as "existing".
+        // On replay/crash-leftovers the attempt suffix picks an unused
+        // dir; orphaned attempts are unreferenced by any snapshot and
+        // swept by expireSnapshots.
+        val ns = keyPrefix.split("/").head
+        val stageDir = Iterator.from(0)
+          .map(a => layer.dataDir(if (a == 0) s"$ns/b$batchId" else s"$ns/b$batchId-r$a"))
+          .find(p => !java.nio.file.Files.exists(p)).get
         merged.write.partitionBy(BucketCol)
           .mode("overwrite").parquet(stageDir.toString)
         val counts = merged.groupBy(BucketCol).count()

@@ -163,6 +163,67 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.currentPartitions().count(_.key.startsWith("tier=15min/")) == days.size - 1)
   }
 
+  test("Iceberg contract: streaming MERGE upsert is one REPLACE WHERE per batch, replay-idempotent") {
+    import graft.table.IcebergTableLayer
+    import scala.collection.mutable
+
+    // recorder for the STREAMING sink path: MergeSink commits one
+    // (added, removed-same-keys) batch per micro-batch, which the live
+    // IcebergTableLayer executes as exactly one REPLACE WHERE statement
+    // (= one Iceberg snapshot); the manifest super is the behavior oracle
+    val fq = "cat.db.graft_latest"
+    class RecordingLayer(root: String) extends ManifestTableLayer(root) {
+      val statements = mutable.Buffer.empty[String]
+      override def commit(added: Seq[PartitionMeta], removedKeys: Seq[String]): Long = {
+        val plan = IcebergTableLayer.commitPlan(fq, added.map(_.path), removedKeys)
+        assert(plan.size <= 1, s"one-snapshot commit invariant violated: $plan")
+        statements ++= plan
+        super.commit(added, removedKeys)
+      }
+      override def expireSnapshots(keepLast: Int): Int = {
+        statements ++= IcebergTableLayer.expirePlan("cat", "db.graft_latest", keepLast)
+        super.expireSnapshots(keepLast)
+      }
+    }
+    val t = new RecordingLayer(s"${freshRoot()}/table")
+    def batch(epoch: Long) = (0 until 8).map(u =>
+        (u.toLong, u * 10 + epoch, epoch, "t", 100L))
+      .toDF("user_id", "event_id", "epoch_us", "event_type", "cents")
+
+    graft.streaming.StreamingRollup.mergeLatestBatch(spark, t, batch(1L), 0L, nBuckets = 4)
+    graft.streaming.StreamingRollup.mergeLatestBatch(spark, t, batch(2L), 1L, nBuckets = 4)
+    // one statement per micro-batch, always the atomic REPLACE WHERE form
+    assert(t.statements.size == 2)
+    assert(t.statements.forall(_.startsWith(s"INSERT INTO $fq REPLACE WHERE ")))
+    // the replace predicate covers exactly the touched bucket keys
+    t.currentPartitions().map(_.key).foreach { k =>
+      assert(t.statements.last.contains(s"(${IcebergTableLayer.partitionKeySql(k)})"))
+    }
+    val rowsBefore = t.read(spark).orderBy("user_id").collect().toSeq
+    val stmtBefore = t.statements.last
+
+    // foreachBatch is at-least-once: a crash between sink write and
+    // offset commit REPLAYS the batch — same batchId, same data. The
+    // replayed commit stages to a FRESH dir (never overwriting the files
+    // its own merge is reading) but must carry the same REPLACE WHERE
+    // predicate and leave the table contents unchanged.
+    graft.streaming.StreamingRollup.mergeLatestBatch(spark, t, batch(2L), 1L, nBuckets = 4)
+    def predicateOf(stmt: String): String =
+      stmt.substring(0, stmt.indexOf(" SELECT * FROM parquet"))
+    assert(t.statements.size == 3 &&
+      predicateOf(t.statements.last) == predicateOf(stmtBefore),
+      "replayed batch must re-execute the same REPLACE WHERE predicate")
+    assert(t.read(spark).orderBy("user_id").collect().toSeq == rowsBefore,
+      "replay must be a no-op on table contents")
+
+    // streaming retention maps to the expire_snapshots procedure and
+    // leaves the live contents readable
+    t.expireSnapshots(keepLast = 2)
+    assert(t.statements.last ==
+      "CALL cat.system.expire_snapshots(table => 'db.graft_latest', retain_last => 2)")
+    assert(t.read(spark).orderBy("user_id").collect().toSeq == rowsBefore)
+  }
+
   test("Iceberg staging aligns rows with the partition-key predicate (incl. bare namespace keys)") {
     import graft.table.IcebergTableLayer
     // k=v segments: added only when the data doesn't already carry them
