@@ -232,6 +232,36 @@ object PageQueries {
         .select(col("url"), sha2(col("text"), 256).as("h")).distinct()
     }),
 
+    // VERSION PATCH (J3 + A4 lineage at the pages level): a late re-crawl
+    // REVISES day-2 scores for two domains; the revision tier is patched
+    // over the published 15-min tier with combine_first priority
+    // (revision wins where present) and every patched bucket carries an
+    // OPSD-style "own calculation based on ..." lineage marker
+    // [pub: imputation.py combine_first; marker strings in main.ipynb].
+    "q_pages_patch" -> ((s, dir) => {
+      val from = Pages.T0Epoch + 2 * 86400L
+      val until = Pages.T0Epoch + 3 * 86400L
+      val published = tier15(s, dir).filter(col("metric") === "score")
+        .select(col("domain"), col("bucket_ts"), col("mean_v"))
+      // the re-crawl: same pages, day-2 window, two domains, scores
+      // shifted by an exact dyadic (+256) so revised buckets are visible
+      val rev = TimeSeriesOps.tier(
+          points(s, dir).filter(col("metric") === "score" &&
+            col("domain").isin("d7.example", "d42.example") &&
+            col("epoch_s") >= from && col("epoch_s") < until)
+            .withColumn("value", col("value") + 256.0d),
+          Seq("domain"), "epoch_s", "value", 900)
+        .select(col("domain"), col("bucket_ts"), col("mean_v"))
+      TimeSeriesOps.combineFirst(
+          rev, published, Seq("domain", "bucket_ts"), "mean_v")
+        .select(col("domain"), col("bucket_ts"), col("mean_v").as("value"),
+          // combineFirst marks right-filled rows `patched`; the REVISED
+          // rows are the left-present ones — those get the lineage label
+          when(!col("patched"),
+            concat(lit("own calculation based on recrawl of "), col("domain")))
+            .otherwise(lit("")).as("marker"))
+    }),
+
     // top hot domains by visit count (rank with deterministic tie-break)
     "q_topk_domains" -> ((s, dir) => {
       val cnt = Pages.synthesize(s, dir)
@@ -352,6 +382,24 @@ object PageQueries {
         |  TRY_CAST(replace(replace(trim(c1), '.', ''), ',', '.') AS DOUBLE) AS DE_load_actual
         |FROM read_csv('${Scratch.dir("eu_cet.csv")}', delim=';', header=false, skip=2,
         |  columns={'c0':'VARCHAR','c1':'VARCHAR'})""".stripMargin,
+
+    "q_pages_patch" ->
+      s"""WITH t AS (SELECT domain, bucket_ts, mean_v FROM ($T15) t15 WHERE metric = 'score'),
+         |rev AS (SELECT domain, epoch_s//900*900 AS bucket_ts,
+         |          sum(value + 256)/count(value) AS mean_v
+         |        FROM ($POINTS) pts
+         |        WHERE metric = 'score' AND domain IN ('d7.example', 'd42.example')
+         |          AND epoch_s >= ${Pages.T0Epoch + 2 * 86400L}
+         |          AND epoch_s < ${Pages.T0Epoch + 3 * 86400L}
+         |        GROUP BY 1, 2)
+         |SELECT COALESCE(rev.domain, t.domain) AS domain,
+         |  COALESCE(rev.bucket_ts, t.bucket_ts) AS bucket_ts,
+         |  COALESCE(rev.mean_v, t.mean_v) AS value,
+         |  CASE WHEN rev.mean_v IS NOT NULL
+         |       THEN 'own calculation based on recrawl of ' || rev.domain
+         |       ELSE '' END AS marker
+         |FROM t FULL OUTER JOIN rev
+         |  ON t.domain = rev.domain AND t.bucket_ts = rev.bucket_ts""".stripMargin,
 
     "q_topk_domains" ->
       s"""SELECT domain, visits, rk FROM (

@@ -15,6 +15,24 @@ object Scratch {
   lazy val root: String = {
     val base = Paths.get("/root/repo/target/verify_tmp")
     Files.createDirectories(base)
+    // sweep STALE roots left by previous runs (they otherwise accumulate
+    // a full store set per Verify/Bench invocation forever). Age-gated —
+    // never "everything but me" — so a CONCURRENT run's root is safe: no
+    // run lives hours, and creating anything under a root refreshes its
+    // mtime. Deletion races with another sweeping JVM are benign (both
+    // are removing the same dead dir).
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(base)
+    try ls.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("run-"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toSeq.foreach { p =>
+        try Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        catch { case _: java.io.IOException => () }
+      }
+    finally ls.close()
     Files.createTempDirectory(base, "run-").toString
   }
 
