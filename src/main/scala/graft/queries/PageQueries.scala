@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ingest.{CsvSource, Pages}
+import graft.ingest.{CsvSource, Pages, Xlsx}
 import graft.rollup.TimeSeriesOps
 import graft.gapfill.GapFill
 import graft.chunk.ChunkWriter
@@ -222,6 +222,72 @@ object PageQueries {
         .select(unix_timestamp(col("ts")).as("epoch_s"), col("DE_load_actual"))
     }),
 
+    // S6 Excel sink + S3 Excel source, closed as a ROUNDTRIP oracle (the
+    // q_gorilla_roundtrip pattern): the 15-min score tier is exported to
+    // a real xlsx workbook (pure-JDK OOXML writer) and read back via the
+    // distributed xlsx source; the oracle sees the plain tier, so the
+    // check proves bit-exact Excel storage (Double.toString shortest
+    // round-trip repr).
+    "q_excel_roundtrip" -> ((s, dir) => {
+      val t = tier15(s, dir).filter(col("metric") === "score")
+        .select(col("domain"), col("bucket_ts").cast("double").as("bucket_ts"),
+          col("mean_v"))
+      val out = Scratch.dir("tier_xlsx")
+      Xlsx.writeXlsx(t, s"$out/tier.xlsx")
+      Xlsx.readSheet(s, out)
+        .select(col("domain"), col("bucket_ts").cast("long").as("bucket_ts"),
+          col("mean_v"))
+    }),
+
+    // S3 Excel parse against an INDEPENDENT workbook: the fixture is
+    // hand-assembled SpreadsheetML (shared strings for the two header
+    // rows — the t="s" path real TSO workbooks use — inline timestamp
+    // strings, sparse refs for missing cells), NOT produced by the
+    // engine's own writer; the oracle recomputes the arithmetic from
+    // generate_series.
+    "q_excel_source" -> ((s, dir) => {
+      val out = Scratch.dir("eu_xlsx")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def si(ref: String, idx: Int) = s"""<c r="$ref" t="s"><v>$idx</v></c>"""
+      def str(ref: String, v: String) =
+        s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+      def num(ref: String, v: Double) = s"""<c r="$ref"><v>$v</v></c>"""
+      val shared =
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+          """<si><t>timestamp</t></si><si><t>DE_load</t></si>""" +
+          """<si><t>DE_wind</t></si><si><t>actual</t></si></sst>"""
+      val dataRows = (0 until 96).map { i =>
+        val r = i + 3
+        val ts = f"2024-01-01T${i / 4}%02d:${(i % 4) * 15}%02d:00Z"
+        str(s"A$r", ts) +
+          num(s"B$r", 1000.0 + i * 1.5) +
+          (if (i % 7 == 5) "" else num(s"C$r", i * 0.25))
+      }
+      val sheet =
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+          s"""<row r="1">${si("A1", 0)}${si("B1", 1)}${si("C1", 2)}</row>""" +
+          s"""<row r="2">${si("B2", 3)}${si("C2", 3)}</row>""" +
+          dataRows.zipWithIndex.map { case (cells, i) =>
+            s"""<row r="${i + 3}">$cells</row>""" }.mkString +
+          """</sheetData></worksheet>"""
+      val zout = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(s"$out/eu.xlsx")))
+      try {
+        Seq("xl/sharedStrings.xml" -> shared,
+            "xl/worksheets/sheet1.xml" -> sheet).foreach { case (n, c) =>
+          zout.putNextEntry(new java.util.zip.ZipEntry(n))
+          zout.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          zout.closeEntry()
+        }
+      } finally zout.close()
+      Xlsx.readEuTimeSeries(s, out, headerRows = 2)
+        .select(unix_timestamp(col("ts")).as("epoch_s"),
+          col("DE_load_actual"), col("DE_wind_actual"))
+    }),
+
     // per-row invariant: text bytes survive a partitioned write+read
     "q_text_invariant" -> ((s, dir) => {
       val pages = Pages.synthesize(s, dir)
@@ -361,6 +427,18 @@ object PageQueries {
 
     "q_text_invariant" ->
       s"SELECT DISTINCT url, sha256(text) AS h FROM $P p",
+
+    // Excel roundtrip must be content-invariant: the oracle is the tier
+    "q_excel_roundtrip" ->
+      s"""SELECT domain, bucket_ts, mean_v
+         |FROM ($T15) t WHERE metric = 'score'""".stripMargin,
+
+    // the hand-built workbook's arithmetic, recomputed from scratch
+    "q_excel_source" ->
+      """SELECT CAST(1704067200 + i*900 AS BIGINT) AS epoch_s,
+        |  1000.0 + i*1.5 AS DE_load_actual,
+        |  CASE WHEN i % 7 = 5 THEN NULL ELSE i*0.25 END AS DE_wind_actual
+        |FROM (SELECT UNNEST(generate_series(0, 95)) AS i) t""".stripMargin,
 
     "q_csv_source" ->
       s"""SELECT epoch_us(CAST(c0 AS TIMESTAMPTZ))//1000000 AS epoch_s,
