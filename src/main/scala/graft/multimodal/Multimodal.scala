@@ -442,6 +442,193 @@ object Multimodal {
       })
   }
 
+  // ------------------------------------------------------------------
+  // ISO BMFF (mp4) — REAL metadata extraction (round 5). Frame DECODE
+  // stays impossible in-JVM (no H.264/H.265 codec ships with the JDK —
+  // declared stub, [[sampleFrames]] byte-slice path), but the container
+  // METADATA is fully parseable: the box tree, movie header, track
+  // headers, and sample tables are plain big-endian structures
+  // (ISO/IEC 14496-12, publicly specified).
+  // ------------------------------------------------------------------
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(tpe: String, body: Array[Byte]): Array[Byte] =
+    be32(body.length + 8L) ++ tpe.getBytes(Ascii) ++ body
+  private def beU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def beU64(b: Array[Byte], off: Int): Long =
+    (beU32(b, off) << 32) | beU32(b, off + 4)
+
+  /** Deterministic sample size for synthMp4 frame `i` of video `seed` —
+    * mirrored by the q_video_meta oracle's arithmetic.
+    */
+  def mp4SampleSize(seed: Long, i: Int): Int =
+    100 + ((seed + i * 31L) % 400L).toInt
+
+  /** Deterministic minimal-but-spec-shaped mp4: ftyp('isom') +
+    * moov(mvhd[timescale 1000, duration nFrames*40] + trak(tkhd[16.16
+    * fixed w/h] + mdia(mdhd + hdlr 'vide' + minf(stbl(stsd['avc1' w/h] +
+    * stts + stsz[deterministic sizes] + stsc + stco))))) + mdat. The
+    * mdat payload is deterministic filler — the fixture exercises the
+    * METADATA surface (decode is out of JVM reach and not claimed).
+    */
+  def synthMp4(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val timescale = 1000L
+    val dur = nFrames * 40L
+    val sizes = (0 until nFrames).map(mp4SampleSize(seed, _))
+    val mdatBody = Array.tabulate(sizes.sum)(i => ((seed + i) & 0xff).toByte)
+    val matrix = Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+      0x40000000L).flatMap(be32)
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(dur) ++ be32(0x00010000L) ++ be16(0x0100) ++
+      be16(0) ++ be32(0) ++ be32(0) ++ matrix ++
+      Array.fill[Byte](24)(0) ++ be32(2))
+    val tkhd = box("tkhd", be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(dur) ++ be32(0) ++ be32(0) ++ be16(0) ++ be16(0) ++
+      be16(0) ++ be16(0) ++ matrix ++ be32(w.toLong << 16) ++
+      be32(h.toLong << 16))
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(dur) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes(Ascii) ++
+      Array.fill[Byte](12)(0) ++ "VideoHandler".getBytes(Ascii) :+ 0.toByte)
+    val avc1 = box("avc1", Array.fill[Byte](6)(0) ++ be16(1) ++
+      be16(0) ++ be16(0) ++ Array.fill[Byte](12)(0) ++ be16(w) ++ be16(h) ++
+      be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++ be16(1) ++
+      Array.fill[Byte](32)(0) ++ be16(24) ++ be16(0xffff))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ avc1)
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(nFrames.toLong) ++ be32(40))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nFrames.toLong) ++
+      sizes.flatMap(s => be32(s.toLong)).toArray)
+    val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++
+      be32(nFrames.toLong) ++ be32(1))
+    val stbl0 = box("stbl", stsd ++ stts ++ stsz ++ stsc)
+    // stco needs the mdat payload offset = everything before it; build
+    // the tree once with a placeholder to learn the length, then rebuild
+    def assemble(mdatOffset: Long): Array[Byte] = {
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatOffset))
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco)
+      val vmhd = box("vmhd", be32(1) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
+      val dref = box("dref", be32(0) ++ be32(1) ++ box("url ", be32(1)))
+      val minf = box("minf", vmhd ++ box("dinf", dref) ++ stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = box("trak", tkhd ++ mdia)
+      val moov = box("moov", mvhd ++ trak)
+      val ftyp = box("ftyp", "isom".getBytes(Ascii) ++ be32(0x200) ++
+        "isom".getBytes(Ascii) ++ "avc1".getBytes(Ascii))
+      ftyp ++ moov ++ box("mdat", mdatBody)
+    }
+    val probe = assemble(0L)
+    assemble(probe.length - mdatBody.length)
+  }
+
+  final case class Mp4Meta(url: String, brand: String, duration_ms: Long,
+      width: Int, height: Int, codec: String, n_samples: Long,
+      media_bytes: Long)
+
+  /** True iff the payload starts with an ftyp box. */
+  def isMp4(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && fourcc4(payload, 4) == "ftyp"
+
+  private def fourcc4(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, Ascii)
+
+  /** REAL ISO-BMFF metadata parse: walks the box tree (64-bit largesize
+    * and truncation tolerated), reads the movie header for
+    * timescale/duration, and for the FIRST video ('vide' handler) track
+    * reads the 16.16-fixed track dimensions, the stsd codec fourcc, and
+    * the stsz sample count + total media bytes. None for non-BMFF bytes.
+    */
+  def mp4Meta(url: String, payload: Array[Byte]): Option[Mp4Meta] = {
+    if (!isMp4(payload)) return None
+    var brand = ""
+    var mvTimescale = 0L; var mvDuration = 0L
+    var width = 0; var height = 0
+    var codec = ""; var nSamples = 0L; var mediaBytes = 0L
+    var curHandler = ""
+    var trakDone = false
+    // per-trak staging: tkhd dims are read before hdlr says 'vide', so
+    // stage them and commit when the handler confirms a video track
+    var tW = 0; var tH = 0; var tCodec = ""; var tN = 0L; var tBytes = 0L
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val size0 = beU32(payload, off)
+        val tpe = fourcc4(payload, off + 4)
+        var body = off + 8
+        val size =
+          if (size0 == 1L && off + 16 <= until) { body = off + 16; beU64(payload, off + 8) }
+          else if (size0 == 0L) (until - off).toLong // box extends to end
+          else size0
+        val end = math.min(until.toLong, off + size).toInt
+        if (size < 8 || end <= off) return // corrupt/truncated: stop
+        tpe match {
+          case "ftyp" if brand.isEmpty && body + 4 <= end =>
+            brand = fourcc4(payload, body)
+          case "mvhd" if body + 20 <= end =>
+            val v = payload(body) & 0xff
+            if (v == 1) { mvTimescale = beU32(payload, body + 20); mvDuration = beU64(payload, body + 24) }
+            else { mvTimescale = beU32(payload, body + 12); mvDuration = beU32(payload, body + 16) }
+          case "tkhd" if body + 4 <= end =>
+            // width/height (16.16 fixed) after verflags + times/ids +
+            // duration + reserved + layer/group/volume + 3x3 matrix:
+            // 76 bytes into a v0 body, 88 into a v1 (64-bit times) body
+            val v = payload(body) & 0xff
+            val dimOff = body + (if (v == 1) 88 else 76)
+            if (dimOff + 8 <= end) {
+              tW = (beU32(payload, dimOff) >> 16).toInt
+              tH = (beU32(payload, dimOff + 4) >> 16).toInt
+            }
+          case "hdlr" if body + 12 <= end =>
+            curHandler = fourcc4(payload, body + 8)
+          case "stsd" if body + 16 <= end =>
+            tCodec = fourcc4(payload, body + 12)
+          case "stsz" if body + 12 <= end =>
+            val fixed = beU32(payload, body + 4)
+            val n = beU32(payload, body + 8)
+            tN = n
+            tBytes =
+              if (fixed > 0) fixed * n
+              else (0L until n).map { i =>
+                val o = body + 12 + i.toInt * 4
+                if (o + 4 <= end) beU32(payload, o) else 0L
+              }.sum
+          case t if containers(t) =>
+            val isTrak = t == "trak"
+            if (isTrak) { tW = 0; tH = 0; tCodec = ""; tN = 0L; tBytes = 0L; curHandler = "" }
+            walk(body, end, depth + 1)
+            if (isTrak && !trakDone && curHandler == "vide") {
+              width = tW; height = tH; codec = tCodec
+              nSamples = tN; mediaBytes = tBytes; trakDone = true
+            }
+          case _ => ()
+        }
+        off = end
+      }
+    }
+    walk(0, payload.length, 0)
+    if (mvTimescale <= 0) None
+    else Some(Mp4Meta(url, brand, mvDuration * 1000L / mvTimescale,
+      width, height, codec, nSamples, mediaBytes))
+  }
+
+  /** mp4 metadata over a (url, binary) table — typed partition-local
+    * map, non-BMFF payloads dropped; the metadata-side 100 TB shape is
+    * identical to the image/audio paths (1:1 narrow projection, no
+    * shuffle).
+    */
+  def mp4Features(media: DataFrame, urlCol: String, binCol: String): Dataset[Mp4Meta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, bytes) => mp4Meta(url, bytes) })
+  }
+
   final case class Frame(url: String, frame_idx: Int, offset: Long,
       payload: Array[Byte])
 

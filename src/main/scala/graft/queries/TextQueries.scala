@@ -201,6 +201,29 @@ object TextQueries {
           col("width"), col("height"), col("frame_md5"))
     }),
 
+    // REAL ISO-BMFF (mp4) METADATA: per-doc deterministic mp4 containers
+    // parsed box-by-box (mvhd/tkhd/hdlr/stsd/stsz); the oracle
+    // recomputes brand, duration, 16.16 track dims, codec fourcc, sample
+    // count and total media bytes from the synthesis arithmetic. Frame
+    // DECODE for H.264 remains the declared stub (no in-JVM codec) —
+    // this closes the metadata half of the mp4 gap.
+    "q_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val mp4s = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (s"mp4://$id", Multimodal.synthMp4(id,
+            nFrames = 2 + (id % 5).toInt,
+            w = 32 + (id % 3).toInt * 16,
+            h = 24 + (id % 2).toInt * 8))
+        })
+        .toDF("url", "mp4")
+      Multimodal.mp4Features(mp4s, "url", "mp4")
+        .toDF().select(col("url"), col("brand"), col("duration_ms"),
+          col("width"), col("height"), col("codec"), col("n_samples"),
+          col("media_bytes"))
+    }),
+
     // REAL audio decode: per-doc deterministic WAVs parsed by the JDK's
     // AudioSystem; header fields AND the exact PCM energy (sum of squared
     // int16 samples) must match the oracle's arithmetic replay
@@ -539,6 +562,21 @@ object TextQueries {
         |FROM exp e LEFT JOIN fr f
         |  ON f.url = 'avi://' || CAST(e.doc_id AS VARCHAR) AND f.frame_idx = e.i
         |WHERE e.i * 2 < e.nf""".stripMargin,
+
+    // every field recomputed from the synthesis arithmetic — a parser
+    // that misreads any box (wrong offsets, wrong endianness, wrong
+    // fixed-point shift) fails the hash
+    "q_video_meta" ->
+      """WITH docs AS (SELECT doc_id, 2 + doc_id % 5 AS nf,
+        |    CAST(32 + (doc_id % 3) * 16 AS INT) AS w,
+        |    CAST(24 + (doc_id % 2) * 8 AS INT) AS h
+        |  FROM documents),
+        |sz AS (SELECT doc_id, nf, w, h, UNNEST(generate_series(0, nf - 1)) AS i FROM docs)
+        |SELECT 'mp4://' || CAST(doc_id AS VARCHAR) AS url, 'isom' AS brand,
+        |  CAST(nf * 40 AS BIGINT) AS duration_ms, w AS width, h AS height,
+        |  'avc1' AS codec, CAST(nf AS BIGINT) AS n_samples,
+        |  CAST(sum(100 + (doc_id + i * 31) % 400) AS BIGINT) AS media_bytes
+        |FROM sz GROUP BY doc_id, nf, w, h""".stripMargin,
 
     "q_audio_decode" ->
       """WITH docs AS (SELECT doc_id, 50 + doc_id % 100 AS n FROM documents),

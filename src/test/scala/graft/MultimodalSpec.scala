@@ -91,6 +91,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.aviFrameChunks(truncated).length == 4)
   }
 
+  test("REAL ISO-BMFF metadata: box-tree parse reads mvhd/tkhd/stsd/stsz exactly") {
+    val mp4 = Multimodal.synthMp4(seed = 17L, nFrames = 6, w = 64, h = 48)
+    val m = Multimodal.mp4Meta("u", mp4).get
+    assert(m.brand == "isom")
+    assert(m.duration_ms == 240) // 6 frames * 40ms at timescale 1000
+    assert(m.width == 64 && m.height == 48)
+    assert(m.codec == "avc1")
+    assert(m.n_samples == 6)
+    assert(m.media_bytes ==
+      (0 until 6).map(Multimodal.mp4SampleSize(17L, _)).sum)
+    // metadata survives mdat truncation (moov precedes mdat)
+    val truncated = java.util.Arrays.copyOf(mp4, mp4.length - 50)
+    assert(Multimodal.mp4Meta("u", truncated).contains(m))
+    // non-BMFF bytes are rejected, not mis-parsed
+    assert(Multimodal.mp4Meta("u", "RIFFxxxxAVI xxxx".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta("u", Array.fill[Byte](3)(1)).isEmpty)
+  }
+
   test("sampleFrames routes AVI through the REAL parser, stub only elsewhere") {
     val avi = Multimodal.synthAvi(seed = 3L, nFrames = 4, w = 32, h = 24)
     val mixed = Seq(("avi1", avi), ("blob1", Array.fill[Byte](1024)(5)))
