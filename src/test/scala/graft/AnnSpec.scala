@@ -42,7 +42,7 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.head._1 == 99999L, s"planted dup not rank 1: $lsh")
   }
 
-  test("IVF top-k: recall >= 0.5 vs brute force, scores exact on the overlap") {
+  test("IVF top-k: trained recall >= 0.7 vs brute force, scores exact on the overlap") {
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
     val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
       .select("vec_id", "cos").as[(Long, Double)].collect().toMap
@@ -51,7 +51,7 @@ class AnnSpec extends AnyFunSuite {
       .select("vec_id", "cos").as[(Long, Double)].collect().toMap
     assert(ivf.size == 10)
     val overlap = ivf.keySet.intersect(brute.keySet)
-    assert(overlap.size >= 5, s"IVF recall too low: ${overlap.size}/10")
+    assert(overlap.size >= 7, s"IVF recall too low: ${overlap.size}/10")
     overlap.foreach(id => assert(ivf(id) == brute(id), s"score drift for $id"))
   }
 
