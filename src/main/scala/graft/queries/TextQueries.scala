@@ -85,6 +85,20 @@ object TextQueries {
       TextOps.repetitionStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3)),
 
+    // T23 paragraph-level exact dedup / boilerplate share: every doc
+    // gets a shared header paragraph, every 3rd a shared footer — the
+    // operator must flag exactly those (hash seen in >= 2 distinct docs)
+    // and leave each doc's unique body unflagged
+    "q_para_dedup" -> ((s, dir) =>
+      TextOps.paragraphDedup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), concat(
+            lit("shared header boilerplate paragraph\n\n"), col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\n\nsubscribe to the newsletter footer"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text", minDocs = 2)),
+
     // deterministic 20% corpus sample by id-hash — same rows on every
     // engine/run/partitioning (df.sample is not reproducible cross-engine)
     "q_sample_hash" -> ((s, dir) =>
@@ -386,6 +400,26 @@ object TextQueries {
         |  CAST(len(list_distinct(s)) AS INT) AS n_uniq,
         |  1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) AS dup_ratio
         |FROM sh""".stripMargin,
+
+    // the same paragraph construction + hot-hash rule replayed; md5 hex
+    // and trim agree across engines
+    "q_para_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    'shared header boilerplate paragraph' || chr(10) || chr(10) || text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || chr(10) || 'subscribe to the newsletter footer'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |paras AS (SELECT doc_id, md5(trim(p)) AS ph
+        |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\n{2,}')) AS p FROM d)
+        |  WHERE length(trim(p)) > 0),
+        |hot AS (SELECT ph FROM (
+        |    SELECT ph, count(*) AS n FROM (SELECT DISTINCT doc_id, ph FROM paras) GROUP BY 1)
+        |  WHERE n >= 2)
+        |SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(count(CASE WHEN ph IN (SELECT ph FROM hot) THEN 1 END) AS BIGINT) AS n_boiler,
+        |  CAST(count(CASE WHEN ph IN (SELECT ph FROM hot) THEN 1 END) AS DOUBLE) / count(*) AS boiler_frac
+        |FROM paras GROUP BY doc_id""".stripMargin,
 
     // 0.2 * 2^32 = 858993459 (truncated); md5 hex agrees across engines
     "q_sample_hash" ->

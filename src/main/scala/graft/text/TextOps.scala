@@ -448,6 +448,44 @@ object TextOps {
         < threshold)
   }
 
+  /** Paragraph-level exact dedup / boilerplate share (T23): split each
+    * document on blank lines, hash every non-empty trimmed paragraph; a
+    * paragraph is BOILERPLATE iff its hash occurs in >= `minDocs`
+    * DISTINCT documents (the C4/RefinedWeb-style repeated-span filter at
+    * paragraph granularity — nav bars, cookie banners, subscribe
+    * footers). Output per doc: paragraph count, boilerplate-paragraph
+    * count, boilerplate share.
+    *
+    * Scale shape: paragraphs move as narrow (doc, md5) rows only — the
+    * texts themselves never shuffle; the hot-hash table comes from a
+    * partially-aggregated distinct-doc count, and the flagging join
+    * shuffles on the hash (NO broadcast assumption — a crawl's
+    * boilerplate set is itself huge); the per-doc rollup partial-aggs.
+    * The paragraph table is persisted across its two consumers (hot set
+    * + per-doc rollup) — same pinning contract as minhashNearDups.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc"),
+        explode(split(col(textCol), "\\n{2,}")).as("para"))
+      .filter(length(trim(col("para"))) > 0)
+      .select(col("doc"), md5(trim(col("para"))).as("ph"))
+      .persist()
+    val hot = paras.distinct()
+      .groupBy("ph").agg(count(lit(1)).as("_n_docs"))
+      .filter(col("_n_docs") >= minDocs)
+      .select(col("ph"), lit(1).as("_hot"))
+    paras.join(hot, Seq("ph"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_paras"), count(col("_hot")).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_paras"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

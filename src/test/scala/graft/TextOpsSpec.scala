@@ -92,6 +92,24 @@ class TextOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("paragraphDedup flags cross-doc paragraphs only; within-doc repeats are not boilerplate") {
+    val docs = Seq(
+      (1L, "shared nav\n\nunique body one\n\nshared nav"), // repeat WITHIN doc 1 only counts via doc 2
+      (2L, "shared nav\n\nunique body two"),
+      (3L, "only unique\n\nonly unique") // within-doc repeat, no other doc -> NOT hot
+    ).toDF("doc_id", "text")
+    val got = TextOps.paragraphDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: 3 paras, both "shared nav" instances flagged (hash in docs 1+2)
+    // doc 2: 2 paras, 1 flagged; doc 3: 2 paras, 0 flagged (single-doc hash)
+    assert(got == Seq((1L, 3L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    // blank/whitespace-only segments are dropped
+    val blanks = Seq((9L, "a\n\n   \n\nb")).toDF("doc_id", "text")
+    assert(TextOps.paragraphDedup(blanks, "doc_id", "text")
+      .head().getLong(1) == 2L)
+  }
+
   test("rolling FNV-1a hash: deterministic, order-sensitive") {
     val a = TextOps.rollingHash64("hello world")
     val b = TextOps.rollingHash64("hello world")
