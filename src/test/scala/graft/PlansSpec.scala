@@ -127,6 +127,23 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraphDedup plans hash joins + partial aggs, never a nested loop") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"), concat(col("text"), lit("\n\nshared")).as("text"))
+    val df = graft.text.TextOps.paragraphDedup(docs, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    // the hot-hash flagging join must be an equi hash join on the md5 —
+    // a BroadcastNestedLoopJoin/Cartesian here would be corpus x hotset
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"paragraphDedup must not plan a nested-loop join:\n$plan")
+    // both aggregations partial-agg (map-side combine before the shuffle)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"paragraphDedup aggregations must partial-agg:\n$plan")
+    df.unpersist()
+  }
+
   test("ivfAssign is a pure projection: no Window, no Sort, no Exchange") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
