@@ -99,6 +99,37 @@ object TextQueries {
               .otherwise(lit(""))).as("text")),
         "doc_id", "text", minDocs = 2)),
 
+    // T25 stratified quota sampling — the data-MIXING primitive: at most
+    // 5 docs per (lang, source) stratum, chosen by deterministic
+    // md5-of-id rank (same survivors on every engine/run/partitioning)
+    "q_quota_sample" -> ((s, dir) =>
+      TextOps.quotaSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "lang", "source"),
+        Seq("lang", "source"), "doc_id", cap = 5)),
+
+    // T24 benchmark decontamination: docs sharing any 13-gram with the
+    // benchmark set (every 50th doc) are flagged; contamination is
+    // INJECTED by appending the first 15 words of a benchmark doc to
+    // every 17th doc — exactly those (plus the benchmark docs
+    // themselves, fully self-contaminated) must come back flagged
+    "q_decontam" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val bench = base.filter(col("doc_id") % 50 === 0)
+      val snip = bench.select(col("doc_id").as("_src"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ")
+          .as("_snippet"))
+      val corpus = base
+        .withColumn("_src", (col("doc_id") % 10) * 50)
+        .join(snip, Seq("_src"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0 && col("_snippet").isNotNull,
+            concat(col("text"), lit(" "), col("_snippet")))
+            .otherwise(col("text")).as("text"))
+      TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 13)
+    }),
+
     // deterministic 20% corpus sample by id-hash — same rows on every
     // engine/run/partitioning (df.sample is not reproducible cross-engine)
     "q_sample_hash" -> ((s, dir) =>
@@ -420,6 +451,45 @@ object TextQueries {
         |  CAST(count(CASE WHEN ph IN (SELECT ph FROM hot) THEN 1 END) AS BIGINT) AS n_boiler,
         |  CAST(count(CASE WHEN ph IN (SELECT ph FROM hot) THEN 1 END) AS DOUBLE) / count(*) AS boiler_frac
         |FROM paras GROUP BY doc_id""".stripMargin,
+
+    // per-stratum rank over the same md5 ordering (lowercase hex both
+    // engines), doc_id tie-break
+    "q_quota_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
+        |  FROM documents) t
+        |WHERE qr <= 5""".stripMargin,
+
+    // gram STRINGS intersected directly (the engine compares xxhash64 of
+    // the same grams — a hash collision would surface here as a
+    // mismatch); the < 13-token whole-text fallback mirrors
+    // TextOps.shingles
+    "q_decontam" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+        |snip AS (SELECT doc_id AS src,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:15], ' ') AS snippet
+        |  FROM bench),
+        |corpus AS (SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 17 = 0 AND s.snippet IS NOT NULL
+        |         THEN b.text || ' ' || s.snippet ELSE b.text END AS text
+        |  FROM base b LEFT JOIN snip s ON s.src = (b.doc_id % 10) * 50),
+        |dg AS (SELECT doc_id, UNNEST(list_distinct(
+        |    CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 12),
+        |           i -> array_to_string(t[i:i+12], ' ')) END)) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus)),
+        |bg AS (SELECT DISTINCT UNNEST(
+        |    CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 12),
+        |           i -> array_to_string(t[i:i+12], ' ')) END) AS g
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM bench))
+        |SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) AS BIGINT) AS n_shared,
+        |  count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) > 0 AS contaminated
+        |FROM dg GROUP BY doc_id""".stripMargin,
 
     // 0.2 * 2^32 = 858993459 (truncated); md5 hex agrees across engines
     "q_sample_hash" ->

@@ -486,6 +486,69 @@ object TextOps {
         col("n_boiler").cast("double") / col("n_paras"))
   }
 
+  /** Stratified quota sampling (T25): keep at most `cap` rows per group
+    * (language, source, domain — the data-MIXING primitive: balance a
+    * corpus before training), chosen by deterministic md5-of-id rank so
+    * the same rows survive on every engine/run/partitioning (same
+    * reproducibility contract as [[sampleByHash]], but with a per-group
+    * budget instead of a global rate).
+    *
+    * Scale shape: one window partitioned by the group columns. Group
+    * sizes at crawl scale can be huge, but the window does a per-group
+    * SORT only to emit rank <= cap — for small caps Spark's
+    * WindowGroupLimit pushes the limit into the sort (top-k heap per
+    * partition), so a hot group never fully sorts.
+    */
+  def quotaSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      cap: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_qr", row_number().over(w))
+      .filter(col("_qr") <= cap)
+      .drop("_qr")
+  }
+
+  /** Benchmark decontamination (T24): flag documents sharing any word
+    * `n`-gram with a benchmark/eval set — the must-run hygiene pass
+    * before corpus release (eval answers leaking into training data).
+    *
+    * Scale shape: documents shuffle only as (doc, xxhash64(gram)) narrow
+    * rows — per-doc DISTINCT grams, hashed before the join so gram
+    * strings never move; the benchmark gram-hash set (eval suites are
+    * tiny next to a crawl) broadcasts. Hash equality stands in for gram
+    * equality (64-bit collisions are measure-zero; the oracle checks the
+    * STRING intersection, so a collision would surface as a mismatch).
+    * Output per doc: distinct-gram count, shared-gram count, flag.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13
+  ): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .select(col("doc"), xxhash64(col("g")).as("gh"))
+      .persist()
+    val benchHashes = bench
+      .select(explode(array_distinct(shingles(col(benchTextCol), n))).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val hits = docGrams.join(broadcast(benchHashes), Seq("gh"))
+      .groupBy("doc").agg(count(lit(1)).as("n_shared"))
+    docGrams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -144,6 +144,18 @@ class PlansSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("quotaSample plans a WindowGroupLimit: hot strata never fully rank") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+    val df = graft.text.TextOps.quotaSample(docs, Seq("lang", "source"), "doc_id", 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark's WindowGroupLimit pushes `row_number <= cap` into a per-group
+    // top-k (partial before the shuffle, final after) — without it a hot
+    // stratum (one domain = millions of docs) sorts entirely
+    assert(plan.contains("WindowGroupLimit"),
+      s"quotaSample must push the cap into a window group limit:\n$plan")
+  }
+
   test("ivfAssign is a pure projection: no Window, no Sort, no Exchange") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
