@@ -328,6 +328,28 @@ object PageQueries {
             .otherwise(lit("")).as("marker"))
     }),
 
+    // T26 canonical-URL dedup — the FIRST dedup pass of a web pipeline
+    // (no document bytes touched): five crawl-shaped variants per page
+    // url (bare; tracking-params+fragment; case-shifted host with the
+    // default :443; real params unsorted; real params + tracking) must
+    // canonicalize so that the first three collapse to one form and the
+    // last two to another
+    "q_url_canon" -> ((s, dir) => {
+      val urls = Pages.synthesize(s, dir).select("url").distinct()
+      val up = concat(lit("HTTPS://"),
+        upper(regexp_extract(col("url"), "^https://([^/]+)", 1)), lit(":443"),
+        regexp_extract(col("url"), "^https://[^/]+(/.*)$", 1))
+      val variants = urls.select(col("url").as("raw"))
+        .unionByName(urls.select(
+          concat(col("url"), lit("?utm_source=feed&utm_campaign=x#top")).as("raw")))
+        .unionByName(urls.select(up.as("raw")))
+        .unionByName(urls.select(concat(col("url"), lit("?b=2&a=1")).as("raw")))
+        .unionByName(urls.select(
+          concat(col("url"), lit("?a=1&b=2&utm_source=z")).as("raw")))
+      variants.select(col("raw"),
+        graft.text.TextOps.canonicalUrl(col("raw")).as("canon"))
+    }),
+
     // top hot domains by visit count (rank with deterministic tie-break)
     "q_topk_domains" -> ((s, dir) => {
       val cnt = Pages.synthesize(s, dir)
@@ -478,6 +500,36 @@ object PageQueries {
          |       ELSE '' END AS marker
          |FROM t FULL OUTER JOIN rev
          |  ON t.domain = rev.domain AND t.bucket_ts = rev.bucket_ts""".stripMargin,
+
+    // every canonicalization rule replayed in DuckDB (RE2 and Java regex
+    // agree on these patterns; param sort is byte-lexicographic on ASCII
+    // in both engines)
+    "q_url_canon" ->
+      s"""WITH u AS (SELECT DISTINCT url FROM $P p),
+         |raws AS (
+         |  SELECT url AS raw FROM u
+         |  UNION ALL SELECT url || '?utm_source=feed&utm_campaign=x#top' FROM u
+         |  UNION ALL SELECT 'HTTPS://' || upper(regexp_extract(url, '^https://([^/]+)', 1))
+         |    || ':443' || regexp_extract(url, '^https://[^/]+(/.*)${"$"}', 1) FROM u
+         |  UNION ALL SELECT url || '?b=2&a=1' FROM u
+         |  UNION ALL SELECT url || '?a=1&b=2&utm_source=z' FROM u),
+         |parts AS (SELECT raw,
+         |    lower(regexp_extract(raw, '^([^:/?#]+)://', 1)) AS scheme,
+         |    lower(regexp_extract(raw, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+         |    regexp_replace(regexp_extract(raw, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+${"$"}', '') AS path,
+         |    regexp_extract(raw, '\\?([^#]*)', 1) AS q
+         |  FROM raws),
+         |norm AS (SELECT raw, scheme,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80${"$"}', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443${"$"}', '')
+         |         ELSE auth END AS host,
+         |    path,
+         |    COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=') AND p <> '')), '&'), '') AS kept
+         |  FROM parts)
+         |SELECT raw, scheme || '://' || host || path ||
+         |  CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon
+         |FROM norm""".stripMargin,
 
     "q_topk_domains" ->
       s"""SELECT domain, visits, rk FROM (

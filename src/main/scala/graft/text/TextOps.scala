@@ -513,6 +513,39 @@ object TextOps {
       .drop("_qr")
   }
 
+  /** URL canonicalization (T26): the same page arrives from a crawl under
+    * utm-tagged, fragment-suffixed, case-shifted variants — canonical-URL
+    * dedup is the FIRST dedup pass of every web pipeline (cheaper than
+    * any content hash: no document bytes touched). Rules, mirrored
+    * exactly by the DuckDB oracle:
+    *   - scheme and host lowercased; default port stripped
+    *     (:80 for http, :443 for https)
+    *   - fragment dropped
+    *   - tracking params dropped (name utm_*, fbclid, gclid, ref),
+    *     surviving params byte-sorted and rejoined — param ORDER never
+    *     distinguishes resources, param SET does
+    *   - trailing slashes stripped from the path
+    * Pure column expressions (regexp + array ops; the param filter is a
+    * higher-order function — interpreted per PARAM, not per char, and
+    * params are few, so it stays off the codegen-kernel list).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([^:/?#]+)://", 1))
+    val auth = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = regexp_replace(
+      regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= "")),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   /** Benchmark decontamination (T24): flag documents sharing any word
     * `n`-gram with a benchmark/eval set — the must-run hygiene pass
     * before corpus release (eval answers leaking into training data).

@@ -110,6 +110,26 @@ class TextOpsSpec extends AnyFunSuite {
       .head().getLong(1) == 2L)
   }
 
+  test("canonicalUrl collapses crawl variants, keeps real params sorted") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(TextOps.canonicalUrl(col("u"))).head().getString(0)
+    // tracking params + fragment + case + default port all collapse
+    assert(canon("https://Ex.Org/p/1") == "https://ex.org/p/1")
+    assert(canon("HTTPS://EX.ORG:443/p/1#frag") == "https://ex.org/p/1")
+    assert(canon("https://ex.org/p/1?utm_source=a&fbclid=x&gclid=y&ref=z") ==
+      "https://ex.org/p/1")
+    assert(canon("http://ex.org:80/p/1") == "http://ex.org/p/1")
+    // real params survive, byte-sorted; order never distinguishes
+    assert(canon("https://ex.org/p?b=2&a=1") == "https://ex.org/p?a=1&b=2")
+    assert(canon("https://ex.org/p?a=1&b=2&utm_medium=m") ==
+      canon("https://ex.org/p?b=2&a=1"))
+    // NON-default port is a different origin — kept
+    assert(canon("https://ex.org:8443/p") == "https://ex.org:8443/p")
+    // trailing slashes are noise; a param named 'reference' is NOT 'ref'
+    assert(canon("https://ex.org/p/") == "https://ex.org/p")
+    assert(canon("https://ex.org/p?reference=1") == "https://ex.org/p?reference=1")
+  }
+
   test("rolling FNV-1a hash: deterministic, order-sensitive") {
     val a = TextOps.rollingHash64("hello world")
     val b = TextOps.rollingHash64("hello world")
