@@ -172,6 +172,22 @@ object TextQueries {
         k = 16, bands = 4, threshold = 0.5,
         sigSink = Some(Scratch.dir("minhash_sigs")))),
 
+    // the CAPSTONE composition a real pipeline runs end-to-end: MinHash
+    // LSH pairs (T2) -> connected components (T16) -> ONE SURVIVOR per
+    // near-dup cluster -> the corpus filtered to survivors. The oracle
+    // replays banding over the sig dump, the transitive closure, and the
+    // keeper rule (doc == min reachable id)
+    "q_dedup_corpus" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val pairs = TextOps.minhashNearDups(docs, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5,
+        sigSink = Some(Scratch.dir("dedup_corpus_sigs")))
+      val labels = TextOps.dupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+      labels.filter(col("cluster_id") === col("doc_id")).select("doc_id")
+        .join(docs, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("fp_md5"))
+    }),
+
     // SimHash Hamming-<=3 pairs. The 64-bit signature itself is not
     // SQL-expressible (typed map, unit-tested), but the PAIRING stage is:
     // the engine's signature table is written to parquet and the DuckDB
@@ -558,6 +574,47 @@ object TextQueries {
         |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
         |            JOIN sh sb ON sb.doc_id = cand.doc_b)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    // banding+verify from the sig dump (as q_minhash_pairs), then the
+    // recursive transitive closure (as q_dup_clusters) and the keeper
+    // rule: a doc survives iff it IS its cluster's min id
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents UNION ALL
+        |           SELECT doc_id + 200000, text || ' graft trailer token'
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |sigs AS (SELECT doc, sig
+        |  FROM read_parquet('${Scratch.dir("dedup_corpus_sigs")}/*.parquet')),
+        |banded AS (SELECT doc, bi AS band_idx,
+        |    array_to_string(sig[bi*4+1:bi*4+4], ',') AS band_key
+        |  FROM sigs, (SELECT UNNEST([0, 1, 2, 3]) AS bi) t),
+        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |  WHERE a.doc < b.doc),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tk),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |      CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |        / len(list_distinct(sa.s || sb.s)) AS jaccard
+        |    FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+        |              JOIN sh sb ON sb.doc_id = cand.doc_b) j
+        |  WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |labels AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |           FROM reach GROUP BY 1)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, md5(d.text) AS fp_md5
+        |FROM d JOIN labels USING (doc_id)
+        |WHERE labels.cluster_id = d.doc_id""".stripMargin,
 
     // identical banding+verify mirror as q_minhash_pairs, over the sig
     // dump of the streaming fixture files — the streaming candidate path
