@@ -161,6 +161,105 @@ object Pipeline {
     n
   }
 
+  /** INCREMENTAL tier refresh (materialized-view maintenance): merge a
+    * LATE batch of pages into the stored tier chain without rebuilding
+    * unaffected days. Because tiers store ALGEBRAIC partials (sum, n), a
+    * delta is pure addition — merged(n, sum) = stored + delta per
+    * (series, bucket) — so the 15-min day partition merges in one
+    * distributed aggregation over (old partition ∪ delta partials), each
+    * higher tier re-chains from its freshly merged child (work bounded
+    * by the touched DAY, never the corpus), and the day's Gorilla
+    * chunks + index rebuild from the merged tier (compressed sorted
+    * blobs don't merge incrementally; per-day scope keeps that cheap).
+    * A delta may introduce entirely new days — those build fresh.
+    *
+    * This is the batch/store-level form of the revision patching the
+    * reference does with combine_first + full re-runs [pub: main.ipynb
+    * version patching], and the batch twin of the streaming MERGE sink.
+    * Returns the refreshed days.
+    */
+  def applyDelta(
+      spark: SparkSession,
+      deltaPages: DataFrame,
+      table: ManifestTableLayer,
+      chunkMaxPoints: Int = 1024,
+      indexBuckets: Int = 16
+  ): Seq[String] = {
+    import spark.implicits._
+    val withDay = deltaPages
+      .withColumn("_day", to_date(col("warc_ts")).cast("string")).persist()
+    try {
+      val days = withDay.select("_day").distinct().as[String].collect().sorted.toSeq
+      def partOf(key: String) = table.currentPartitions().find(_.key == key)
+      for (day <- days) {
+        // 15-min: stored partials + delta partials, summed — exact algebra
+        val d15 = tier15FromPages(withDay.filter(col("_day") === day).drop("_day"))
+        val merged15 = partOf(tierKey("15min", day)) match {
+          case Some(pm) =>
+            spark.read.parquet(pm.path).unionByName(d15)
+              .groupBy(col("domain"), col("metric"), col("bucket_ts"))
+              .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+              .withColumn("mean_v", col("sum_v") / col("n"))
+              .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+          case None => d15
+        }
+        commitRefreshed(table, merged15, tierKey("15min", day),
+          s"delta-merge:15min day=$day")
+        for (((tier, period), idx) <- Tiers.zipWithIndex if tier != "15min") {
+          val child = Tiers(idx - 1)._1
+          val childDf = spark.read.parquet(partOf(tierKey(child, day)).get.path)
+          commitRefreshed(table,
+            TimeSeriesOps.chainTier(childDf, seriesCols, period),
+            tierKey(tier, day), s"delta-chain:$tier day=$day")
+        }
+        val t15 = spark.read.parquet(partOf(tierKey("15min", day)).get.path)
+        val flat = t15.select(
+          concat_ws("_", col("domain"), col("metric")).as("series_flat"),
+          col("bucket_ts").as("ts"), col("mean_v").as("value"))
+        commitRefreshed(table, ChunkWriter.build(flat, "15min", chunkMaxPoints).toDF(),
+          chunkKey("15min", day), s"delta-chunks day=$day")
+        val chunks = spark.read.parquet(partOf(chunkKey("15min", day)).get.path)
+          .as[ChunkWriter.FlatChunk]
+        commitRefreshed(table, ChunkWriter.buildIndex(chunks, indexBuckets).toDF(),
+          indexKey("15min", day), s"delta-index day=$day")
+      }
+      days
+    } finally withDay.unpersist()
+  }
+
+  /** Copy-on-write refresh of one partition: write to a FRESH sibling
+    * dir — NEVER the live dir, which the merged plan is lazily reading
+    * (the delete-first overwrite would race its own input) — then swap
+    * in one snapshot. Old dirs stay for time travel until
+    * `expireSnapshots`.
+    */
+  private def commitRefreshed(
+      table: ManifestTableLayer,
+      df: DataFrame,
+      key: String,
+      lineage: String
+  ): Unit = {
+    val path = Iterator.from(0)
+      .map(i => table.dataDir(if (i == 0) key else s"$key-r$i"))
+      .find(p => !java.nio.file.Files.exists(p)).get
+    df.persist()
+    try {
+      val rows = df.count()
+      df.write.mode("overwrite").parquet(path.toString)
+      val bytes = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(path)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally s.close()
+      }
+      table.commit(
+        Seq(graft.table.PartitionMeta(key, path.toString, rows, bytes, lineage)),
+        Seq(key))
+    } finally df.unpersist()
+  }
+
   /** Read one full tier back from the table (all live day partitions). */
   def readTier(spark: SparkSession, table: ManifestTableLayer, tier: String): DataFrame = {
     val prefix = s"tier=$tier/"

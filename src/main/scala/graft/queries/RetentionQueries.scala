@@ -80,6 +80,26 @@ object RetentionQueries {
         .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
     }),
 
+    // INCREMENTAL refresh == full rebuild: build the chain over 80% of
+    // the pages, then applyDelta the late 20% (split by doc id parsed
+    // from the url — SQL-mirrorable). The refreshed hourly tier must be
+    // bitwise the tier a full build over ALL pages produces — the
+    // algebraic-partials merge is exact, not approximate.
+    "q_tier_refresh" -> ((s, dir) => {
+      val root = freshRoot("tier_refresh")
+      val all = Pages.synthesize(s, dir)
+        .select("url", "warc_ts", "html", "text", "lang")
+      val late = regexp_extract(col("url"), "/p/(\\d+)$", 1)
+        .cast("long") % 5 === 4
+      val basePath = s"$root/pages"
+      Pages.writePartitioned(all.filter(!late), basePath, buckets = 16)
+      val table = new ManifestTableLayer(s"$root/table")
+      Pipeline.runRollup(s, basePath, table, Pipeline.listDays(s, basePath))
+      Pipeline.applyDelta(s, all.filter(late), table)
+      Pipeline.readTier(s, table, "1h")
+        .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+    }),
+
     // crash after 5 committed partitions, resume, hourly tier must equal
     // the single-run result
     "q_checkpoint_resume" -> ((s, dir) => {
@@ -95,6 +115,8 @@ object RetentionQueries {
          |  CAST(sum(n) AS BIGINT) AS n_obs
          |FROM ($T15) t WHERE bucket_ts >= $CutoffEpoch GROUP BY 1""".stripMargin,
     "q_retention_aggs" -> T1D,
-    "q_checkpoint_resume" -> T1H
+    "q_checkpoint_resume" -> T1H,
+    // the oracle is the FULL-corpus hourly tier — incremental must equal it
+    "q_tier_refresh" -> T1H
   )
 }

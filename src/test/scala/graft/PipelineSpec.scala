@@ -101,6 +101,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(rt.except(src).isEmpty && src.except(rt).isEmpty)
   }
 
+  test("applyDelta: incremental refresh equals full rebuild on every tier + chunk store") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pipe-delta-").toString
+    val all = Pages.synthesize(spark, SparkTestSession.sf0001)
+      .select("url", "warc_ts", "html", "text", "lang")
+    val late = org.apache.spark.sql.functions.regexp_extract(
+      col("url"), "/p/(\\d+)$", 1).cast("long") % 5 === 4
+    // incremental: 80% built, then the late 20% merged in
+    Pages.writePartitioned(all.filter(!late), s"$base/pages80", buckets = 8)
+    val tInc = new ManifestTableLayer(s"$base/inc")
+    Pipeline.runRollup(spark, s"$base/pages80", tInc,
+      Pipeline.listDays(spark, s"$base/pages80"), chunkMaxPoints = 128)
+    val refreshed = Pipeline.applyDelta(spark, all.filter(late), tInc,
+      chunkMaxPoints = 128)
+    assert(refreshed.nonEmpty)
+    // full: one build over everything
+    Pages.writePartitioned(all, s"$base/pages100", buckets = 8)
+    val tFull = new ManifestTableLayer(s"$base/full")
+    Pipeline.runRollup(spark, s"$base/pages100", tFull,
+      Pipeline.listDays(spark, s"$base/pages100"), chunkMaxPoints = 128)
+    for ((tier, _) <- Pipeline.Tiers) {
+      val cols = Seq("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v").map(col)
+      val inc = Pipeline.readTier(spark, tInc, tier).select(cols: _*)
+      val full = Pipeline.readTier(spark, tFull, tier).select(cols: _*)
+      assert(inc.except(full).isEmpty && full.except(inc).isEmpty,
+        s"incremental $tier tier must equal the full rebuild")
+      assert(inc.count() == full.count())
+    }
+    // the refreshed chunk store decodes to the same points as full's
+    def decoded(t: ManifestTableLayer) = {
+      val parts = t.currentPartitions().filter(_.key.startsWith("chunks-15min/"))
+      graft.chunk.ChunkWriter.decode(
+          spark.read.parquet(parts.map(_.path): _*)
+            .as[graft.chunk.ChunkWriter.FlatChunk])
+        .select("series_flat", "ts", "value")
+    }
+    assert(decoded(tInc).except(decoded(tFull)).isEmpty &&
+      decoded(tFull).except(decoded(tInc)).isEmpty)
+    // copy-on-write: a refreshed day's tier partition lives in a FRESH
+    // sibling dir (-r1), the pre-delta dir survives for time travel
+    val day0 = refreshed.head
+    val pm = tInc.currentPartitions()
+      .find(_.key == Pipeline.tierKey("15min", day0)).get
+    assert(pm.path.endsWith("-r1"), s"refresh must not overwrite in place: ${pm.path}")
+    assert(Files.exists(java.nio.file.Paths.get(
+      tInc.dataDir(Pipeline.tierKey("15min", day0)).toString)))
+    // a delta that introduces an entirely NEW day builds fresh partitions
+    val shifted = all.filter(late).withColumn("warc_ts",
+      org.apache.spark.sql.functions.expr("warc_ts + INTERVAL 30 DAYS"))
+    val newDays = Pipeline.applyDelta(spark, shifted, tInc, chunkMaxPoints = 128)
+    assert(newDays.forall(d => tInc.currentPartitions()
+      .exists(_.key == Pipeline.tierKey("1d", d))))
+    assert(newDays.intersect(refreshed).isEmpty)
+  }
+
   test("sweep drops raw + chunks + index below cutoff; aggregates intact") {
     // run on a copy-table (fresh manifest root, same data dirs would be
     // mutated) — rebuild quickly instead
