@@ -385,7 +385,72 @@ object EventQueries {
         .withColumn("total_cents", col("click_cents") + col("view_cents"))
         .withColumn("basis",
           when(col("click_cents").isNotNull && col("view_cents").isNotNull,
-            lit("own calculation based on click | view")).otherwise(lit(""))))
+            lit("own calculation based on click | view")).otherwise(lit("")))),
+
+    // Seasonal hour-of-week profile (the load-profile analysis OPSD data
+    // exists for): hourly-tier partials re-keyed to hour_of_week
+    // (0 = Mon 00:00 UTC; epoch day 0 is a Thursday, hence +72) and
+    // re-summed — exact algebra over 168 output rows per series, so the
+    // second aggregation is map-side-combined to almost nothing.
+    "q_seasonal_profile" -> ((s, dir) =>
+      tierAt(s, dir, 3600)
+        .groupBy(col("event_type"),
+          expr("(bucket_ts div 3600 + 72) % 168").as("hour_of_week"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+        .withColumn("mean_v",
+          col("sum_cents").cast("double") / col("n") / lit(100.0))),
+
+    // Event-rate anomaly detection: z-score of each hourly bucket's
+    // count against its TRAILING 24h baseline (current bucket excluded,
+    // RANGE frame so missing buckets shrink the baseline). The window
+    // partials (wn, Σv, Σv²) are exact integers; z is assembled in
+    // doubles with the identical expression shape on both sides — never
+    // stddev(), whose internal update order isn't mirrorable.
+    "q_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ts"))
+        .rangeBetween(-86399, -3600)
+      tierAt(s, dir, 3600)
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          count(col("n")).over(w).as("wn"),
+          sum(col("n")).over(w).as("ws"),
+          sum(col("n") * col("n")).over(w).as("wss"))
+        .withColumn("z",
+          when(col("wn") >= 3 &&
+              col("wss").cast("double") - col("ws").cast("double") * col("ws") / col("wn") > 0,
+            (col("n").cast("double") - col("ws").cast("double") / col("wn")) /
+              sqrt((col("wss").cast("double") -
+                col("ws").cast("double") * col("ws") / col("wn")) / col("wn"))))
+        .withColumn("is_anomaly", coalesce(abs(col("z")) > lit(3.0), lit(false)))
+    }),
+
+    // Cross-metric Pearson correlation per series: does hourly event
+    // COUNT co-move with hourly cents VOLUME? Sufficient statistics
+    // (cnt, Σx, Σy, Σx², Σxy, Σy²) are exact BIGINTs gathered in ONE
+    // pass; r is assembled in doubles with the identical expression on
+    // both sides (never corr(), whose streaming update isn't mirrorable).
+    "q_corr_metrics" -> ((s, dir) =>
+      tierAt(s, dir, 3600)
+        .select(col("event_type"), col("n").as("x"), col("sum_cents").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("r",
+          (col("cnt").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+            (sqrt(col("cnt").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+              sqrt(col("cnt").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))),
+
+    // Per-day coverage report (OPSD data-availability QA): how many of
+    // the day's 96 15-min buckets actually hold data, per series.
+    "q_coverage" -> ((s, dir) =>
+      tierAt(s, dir, 900)
+        .groupBy(col("event_type"),
+          expr("bucket_ts div 86400 * 86400").as("day_ts"))
+        .agg(count(lit(1)).as("buckets_present"))
+        .withColumn("coverage",
+          col("buckets_present").cast("double") / lit(96.0)))
   )
 
   // -------------------------------------------------------------------
@@ -585,6 +650,48 @@ object EventQueries {
          |  CASE WHEN sum(CASE WHEN event_type = 'click' THEN cents END) IS NOT NULL
          |        AND sum(CASE WHEN event_type = 'view' THEN cents END) IS NOT NULL
          |       THEN 'own calculation based on click | view' ELSE '' END AS basis
-         |FROM $EV e GROUP BY 1""".stripMargin
+         |FROM $EV e GROUP BY 1""".stripMargin,
+
+    "q_seasonal_profile" ->
+      s"""SELECT event_type, (bucket_ts//3600 + 72) % 168 AS hour_of_week,
+         |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+         |  CAST(sum(sum_cents) AS DOUBLE) / CAST(sum(n) AS BIGINT) / 100.0 AS mean_v
+         |FROM ($T1H) h GROUP BY 1, 2""".stripMargin,
+
+    "q_anomaly" ->
+      s"""SELECT event_type, bucket_ts, n, wn, ws, wss, z,
+         |  COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+         |FROM (
+         |  SELECT *, CASE WHEN wn >= 3
+         |      AND CAST(wss AS DOUBLE) - CAST(ws AS DOUBLE)*ws/wn > 0
+         |    THEN (CAST(n AS DOUBLE) - CAST(ws AS DOUBLE)/wn)
+         |      / sqrt((CAST(wss AS DOUBLE) - CAST(ws AS DOUBLE)*ws/wn)/wn) END AS z
+         |  FROM (
+         |    SELECT event_type, bucket_ts, n,
+         |      count(n) OVER w AS wn,
+         |      CAST(sum(n) OVER w AS BIGINT) AS ws,
+         |      CAST(sum(n*n) OVER w AS BIGINT) AS wss
+         |    FROM ($T1H) h
+         |    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+         |      RANGE BETWEEN 86399 PRECEDING AND 3600 PRECEDING)) p) zz""".stripMargin,
+
+    "q_corr_metrics" ->
+      s"""SELECT event_type, cnt, sx, sy, sxx, sxy, syy,
+         |  (CAST(cnt AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+         |    / (sqrt(CAST(cnt AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+         |       * sqrt(CAST(cnt AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS r
+         |FROM (
+         |  SELECT event_type, count(*) AS cnt,
+         |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(sum_cents) AS BIGINT) AS sy,
+         |    CAST(sum(n*n) AS BIGINT) AS sxx,
+         |    CAST(sum(n*sum_cents) AS BIGINT) AS sxy,
+         |    CAST(sum(sum_cents*sum_cents) AS BIGINT) AS syy
+         |  FROM ($T1H) h GROUP BY 1) p""".stripMargin,
+
+    "q_coverage" ->
+      s"""SELECT event_type, bucket_ts//86400*86400 AS day_ts,
+         |  count(*) AS buckets_present,
+         |  CAST(count(*) AS DOUBLE) / 96.0 AS coverage
+         |FROM ($T15) t GROUP BY 1, 2""".stripMargin
   )
 }

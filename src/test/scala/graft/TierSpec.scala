@@ -235,4 +235,47 @@ class TierSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("analytics queries: z-score, profile, correlation, coverage invariants") {
+    import graft.queries.EventQueries
+    val dir = SparkTestSession.sf0001
+
+    // anomaly: baseline excludes the current bucket; z null below 3 obs
+    // or at zero variance; z reproduces (v - mean)/sd from the partials
+    val an = EventQueries.queries("q_anomaly")(spark, dir)
+      .select("n", "wn", "ws", "wss", "z").collect()
+    assert(an.nonEmpty)
+    an.foreach { r =>
+      val (n, wn) = (r.getLong(0), r.getLong(1))
+      // an empty trailing window has null sums (count 0) — z must be null
+      val (ws, wss) = if (wn == 0) (0L, 0L) else (r.getLong(2), r.getLong(3))
+      assert(wn * wss - ws * ws >= 0, "Cauchy-Schwarz violated")
+      val varOk = wn >= 3 && wss.toDouble - ws.toDouble * ws / wn > 0
+      assert(r.isNullAt(4) == !varOk)
+      if (varOk) {
+        val expect = (n.toDouble - ws.toDouble / wn) /
+          math.sqrt((wss.toDouble - ws.toDouble * ws / wn) / wn)
+        assert(r.getDouble(4) == expect, "z must be bitwise the partials formula")
+      }
+    }
+
+    // profile: 168 possible slots, totals conserve the hourly tier
+    val prof = EventQueries.queries("q_seasonal_profile")(spark, dir)
+    assert(prof.filter(col("hour_of_week") < 0 || col("hour_of_week") > 167).isEmpty)
+    val total = prof.agg(sum("n")).head.getLong(0)
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(total == nEvents, s"profile drops observations: $total != $nEvents")
+
+    // correlation: |r| <= 1 (count vs volume on this fixture is positive)
+    val rs = EventQueries.queries("q_corr_metrics")(spark, dir)
+      .select("r").as[Double].collect()
+    assert(rs.nonEmpty && rs.forall(r => r >= -1.0 && r <= 1.0))
+    assert(rs.forall(_ > 0), "hourly count and cents volume should co-move")
+
+    // coverage: between 1 and all 96 15-min buckets per day
+    val cov = EventQueries.queries("q_coverage")(spark, dir)
+    assert(cov.filter(col("buckets_present") < 1 ||
+      col("buckets_present") > 96).isEmpty)
+    assert(cov.filter(col("coverage") > 1.0).isEmpty)
+  }
 }
