@@ -64,6 +64,11 @@ object TextQueries {
       TextOps.tokenStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // per-language top-20 bigrams (corpus vocabulary statistics)
+    "q_top_ngrams" -> ((s, dir) =>
+      TextOps.topNgrams(
+        s.read.parquet(s"$dir/documents.parquet"), "lang", "text", 2, 20)),
+
     // PII scrub over docs with injected deterministic PII (the fixture
     // has none): per-doc hit counts + md5 of the redacted text — a wrong
     // replacement anywhere changes the hash
@@ -393,6 +398,17 @@ object TextQueries {
          |  CAST(length(text) AS INT) AS n_chars,
          |  CAST(len(list_distinct($TOKS)) AS DOUBLE) / len($TOKS) AS ttr
          |FROM documents""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH toks AS (SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (SELECT lang, UNNEST(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) END
+        |  ) AS ngram FROM toks),
+        |c AS (SELECT lang, ngram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram) AS rank FROM c)
+        |SELECT lang, ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 20""".stripMargin,
 
     "q_quality" ->
       s"""SELECT doc_id, CAST(len($TOKS) AS INT) AS n_tokens,

@@ -348,6 +348,30 @@ object TextOps {
     */
   val BpeishPattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
 
+  /** Per-group top-k n-grams by corpus frequency — the vocabulary /
+    * corpus-statistics stage of a training-data pipeline. 100 TB shape:
+    * the exploded n-gram stream collapses in ONE hash aggregation where
+    * map-side combine does the heavy lifting (|distinct n-grams| <<
+    * |token positions|), and the rank window then shuffles only the
+    * already-aggregated (group, ngram, cnt) rows. Ties break by n-gram
+    * text ascending, so top-k is deterministic under any partitioning.
+    */
+  def topNgrams(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int,
+      k: Int
+  ): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(shingles(col(textCol), n)).as("ngram"))
+      .groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("ngram"))
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     docs.select(

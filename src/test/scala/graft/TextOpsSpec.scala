@@ -170,4 +170,24 @@ class TextOpsSpec extends AnyFunSuite {
       assert(fast == ref, s"doc $id: $fast != $ref")
     }
   }
+
+  test("topNgrams: planted counts, lexicographic tie-break, partitioning-invariant") {
+    val docs = Seq(
+      ("en", "a b a b a b"),     // "a b" x3, "b a" x2
+      ("en", "z z"),             // "z z" x1
+      ("de", "x"),               // short doc -> the 1-token gram itself
+      ("de", "x y x y")          // "x y" x2, "y x" x1
+    ).toDF("lang", "text")
+    val got = TextOps.topNgrams(docs, "lang", "text", 2, 2)
+      .orderBy("lang", "rank")
+      .as[(String, String, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("de", "x y", 2L, 1), ("de", "x", 1L, 2),   // "x" < "y x" ties at 1
+      ("en", "a b", 3L, 1), ("en", "b a", 2L, 2)))
+    // same result regardless of input partitioning (rank window total order)
+    val re = TextOps.topNgrams(docs.repartition(7), "lang", "text", 2, 2)
+      .orderBy("lang", "rank")
+      .as[(String, String, Long, Int)].collect().toSeq
+    assert(re == got)
+  }
 }
