@@ -69,6 +69,36 @@ object TextQueries {
       TextOps.topNgrams(
         s.read.parquet(s"$dir/documents.parquet"), "lang", "text", 2, 20)),
 
+    // Exact per-language token-length quantiles by RANK SELECTION (type-1,
+    // ties broken by doc_id — a total order both engines share). Exact
+    // order statistics need a per-group sort; the at-scale variant is
+    // approx_percentile, sketch-verified against this in TextOpsSpec.
+    "q_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val ranked = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      def q(p: Double) =
+        max(when(col("rn") === greatest(lit(1), ceil(col("cnt") * p)),
+          col("n_tokens")))
+      ranked.groupBy(col("lang")).agg(
+        max(col("cnt")).as("n_docs"),
+        q(0.25).as("p25"), q(0.5).as("p50"),
+        q(0.75).as("p75"), q(0.95).as("p95"))
+    }),
+
+    // Multi-granularity totals in ONE pass: ROLLUP (lang, source) emits
+    // per-(lang, source), per-lang, and grand-total rows from a single
+    // expand+aggregate — no self-unions of separate groupBys.
+    "q_rollup_totals" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))),
+
     // PII scrub over docs with injected deterministic PII (the fixture
     // has none): per-doc hit counts + md5 of the redacted text — a wrong
     // replacement anywhere changes the hash
@@ -409,6 +439,22 @@ object TextQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram) AS rank FROM c)
         |SELECT lang, ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 20""".stripMargin,
+
+    "q_quantiles" ->
+      s"""WITH d AS (SELECT lang, doc_id, len($TOKS) AS n_tokens FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS cnt FROM d)
+         |SELECT lang, CAST(max(cnt) AS BIGINT) AS n_docs,
+         |  CAST(max(CASE WHEN rn = greatest(1, ceil(cnt * 0.25)) THEN n_tokens END) AS INT) AS p25,
+         |  CAST(max(CASE WHEN rn = greatest(1, ceil(cnt * 0.5)) THEN n_tokens END) AS INT) AS p50,
+         |  CAST(max(CASE WHEN rn = greatest(1, ceil(cnt * 0.75)) THEN n_tokens END) AS INT) AS p75,
+         |  CAST(max(CASE WHEN rn = greatest(1, ceil(cnt * 0.95)) THEN n_tokens END) AS INT) AS p95
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "q_rollup_totals" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
     "q_quality" ->
       s"""SELECT doc_id, CAST(len($TOKS) AS INT) AS n_tokens,

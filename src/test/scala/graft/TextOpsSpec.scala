@@ -190,4 +190,20 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(String, String, Long, Int)].collect().toSeq
     assert(re == got)
   }
+
+  test("approx_percentile (at-scale quantile path) tracks the exact rank-selection p50") {
+    val dir = SparkTestSession.sf0001
+    val exact = graft.queries.TextQueries.queries("q_quantiles")(spark, dir)
+      .select("lang", "p50").as[(String, Int)].collect().toMap
+    val approx = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .groupBy("lang")
+      .agg(percentile_approx(col("n_tokens"), lit(0.5), lit(1000)).as("a50"))
+      .as[(String, Int)].collect().toMap
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    exact.foreach { case (lang, p50) =>
+      assert(math.abs(approx(lang) - p50).toDouble / p50 < 0.05,
+        s"$lang: approx ${approx(lang)} drifted from exact $p50")
+    }
+  }
 }
