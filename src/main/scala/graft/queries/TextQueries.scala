@@ -351,6 +351,35 @@ object TextQueries {
         s"$root/table", s"$root/ckpt")
     }),
 
+    // Streaming sessionization via the native session_window: APPEND-mode
+    // emission after the watermark passes each session's end; a planted
+    // max-ts heartbeat (sentinel user -1) drains the bounded backfill.
+    // Oracle: per-session aggregates of the batch gap-split (> 1800s),
+    // which session_window's merge rule provably equals (probed: events
+    // exactly 1800s apart merge).
+    "q_stream_sessions" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get(Scratch.dir("stream_sessions"))
+      if (java.nio.file.Files.exists(root)) {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally st.close()
+      }
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+      val sentinel = Seq((-1L, -1L, maxTs + 7200L, 0L))
+        .toDF("user_id", "event_id", "es", "cents")
+        .select(col("user_id"), col("event_id"),
+          col("es").cast("timestamp").as("ts"), col("cents"))
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(s"$root/src")
+      StreamingRollup.sessionsStreamed(s, s"$root/src", "*.parquet",
+        s"$root/out", s"$root/ckpt")
+    }),
+
     // streaming exact dedup (crawl-time "seen before?"): content-hash
     // keyed state across micro-batches (one file per trigger), drained
     // through the hash-bucketed MERGE sink — final table == the batch
@@ -814,6 +843,20 @@ object TextQueries {
       s"""SELECT event_type, (epoch_us(ts)//1000000)//3600*3600 AS bucket_ts,
          |  count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_sessions" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts)//1000000 AS epoch_s,
+        |    CAST(round(value*100) AS BIGINT) AS cents,
+        |    lag(epoch_us(ts)//1000000) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)//1000000, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_s - prev_ts > 1800
+        |                     THEN 1 ELSE 0 END AS brk FROM s),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_s, event_id ROWS UNBOUNDED PRECEDING) AS seq FROM b)
+        |SELECT user_id, count(*) AS n_events, min(epoch_s) AS t_start,
+        |  max(epoch_s) AS t_end, CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM g GROUP BY user_id, seq""".stripMargin,
 
     "q_stream_latest" ->
       s"""SELECT user_id, event_id, epoch_s, event_type, cents FROM (

@@ -193,4 +193,56 @@ object StreamingRollup {
       .withColumn("epoch_s", expr("epoch_us div 1000000"))
       .select("user_id", "event_id", "epoch_s", "event_type", "cents")
   }
+
+  /** Streaming gap-sessionization through the NATIVE `session_window`
+    * aggregation: per-user sessions merge inside the state store and are
+    * emitted in APPEND mode once the event-time watermark passes their
+    * end, so state holds only OPEN sessions — bounded by concurrently
+    * active users, not by history (the batch sessionize sorts all of it).
+    * Events exactly `gapSec` apart merge (split on gap > gapSec, probed
+    * against Spark 4.1 and matched by the oracle + batch sessionize).
+    *
+    * Draining a bounded backfill needs the watermark pushed past the last
+    * real session's end: the caller plants a max-timestamp heartbeat row
+    * (sentinel user_id -1) — the production pattern for watermark
+    * advancement on quiet sources. The sentinel's own session stays open
+    * in state and is never emitted; the final no-data micro-batch flushes
+    * every real session.
+    */
+  def sessionsStreamed(
+      spark: SparkSession,
+      srcDir: String,
+      glob: String,
+      outDir: String,
+      checkpointDir: String,
+      gapSec: Long = 1800L,
+      maxFilesPerTrigger: Int = 0
+  ): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val src = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(srcDir)
+    val sessions = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+        sum(col("cents")).as("cents_sum"))
+      .select(col("user_id"), col("n_events"),
+        unix_timestamp(col("ts_min")).as("t_start"),
+        unix_timestamp(col("ts_max")).as("t_end"),
+        col("cents_sum"))
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .select("user_id", "n_events", "t_start", "t_end", "cents_sum")
+  }
 }

@@ -339,4 +339,52 @@ class StreamingSpec extends AnyFunSuite {
     val layer = new graft.table.ManifestTableLayer(s"$base/table")
     assert(layer.currentPartitions().nonEmpty)
   }
+
+  test("session_window sessions emit incrementally across micro-batches == single-batch run") {
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-sess-").toString
+    val ev = spark.read.parquet(s"${SparkTestSession.sf0001}/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    import spark.implicits._
+    val sentinel = Seq((-1L, -1L, maxTs + 7200L, 0L))
+      .toDF("user_id", "event_id", "es", "cents")
+      .select(col("user_id"), col("event_id"),
+        col("es").cast("timestamp").as("ts"), col("cents"))
+
+    // chronological day files: day N+1's events are all newer than
+    // day N's watermark (max - 1h), so multi-batch processing drops
+    // nothing — the contract a replayable event-time source must meet
+    Files.createDirectories(Paths.get(s"$base/src"))
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, Paths.get(s"$base/src/$name.parquet"))
+      Thread.sleep(5) // distinct mtimes => deterministic file-source order
+    }
+    val days = ev.select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().as[String].collect().sorted
+    for ((d, i) <- days.zipWithIndex)
+      addFile(ev.filter(to_date(col("ts")) === to_date(lit(d))), f"d$i%03d")
+    addFile(sentinel, f"d${days.length}%03d")
+
+    val multi = StreamingRollup.sessionsStreamed(spark,
+      s"$base/src", "*.parquet", s"$base/out_multi", s"$base/ckpt_multi",
+      maxFilesPerTrigger = 1)
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(s"$base/one")
+    val single = StreamingRollup.sessionsStreamed(spark,
+      s"$base/one", "*.parquet", s"$base/out_one", s"$base/ckpt_one")
+
+    val cols = Seq("user_id", "n_events", "t_start", "t_end", "cents_sum").map(col)
+    assert(multi.select(cols: _*).except(single.select(cols: _*)).isEmpty &&
+      single.select(cols: _*).except(multi.select(cols: _*)).isEmpty,
+      "multi-batch session emission must equal the single-batch run")
+    assert(multi.count() == single.count() && multi.count() > 0)
+    // append-mode emitted each finalized session exactly once
+    assert(multi.groupBy(cols: _*).count().filter(col("count") > 1).isEmpty)
+  }
 }
