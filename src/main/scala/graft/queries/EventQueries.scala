@@ -442,6 +442,26 @@ object EventQueries {
             (sqrt(col("cnt").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
               sqrt(col("cnt").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))),
 
+    // Range (interval) join: events matched to data-derived "hot day"
+    // intervals (days whose count is strictly above the series' daily
+    // mean — compared in exact integers as n*cnt > total). The bucketed
+    // equi-join shape never plans a nested-loop join (TierSpec).
+    "q_range_join" -> ((s, dir) => {
+      val daily = chain(chain(tierAt(s, dir, 900).drop("mean_v"), 3600)
+        .drop("mean_v"), 86400)
+        .select(col("event_type"), col("bucket_ts"), col("n"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("cnt"))
+      val hot = daily.join(broadcast(tot), Seq("event_type"))
+        .filter(col("n") * col("cnt") > col("total"))
+        .select(col("event_type"), col("bucket_ts").as("start_ts"),
+          (col("bucket_ts") + 86400L).as("end_ts"))
+      TimeSeriesOps.rangeJoin(base(s, dir), hot, Seq("event_type"),
+          "epoch_s", "start_ts", "end_ts", bucketSec = 86400L)
+        .groupBy(col("event_type"), col("start_ts"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum"))
+    }),
+
     // Per-day coverage report (OPSD data-availability QA): how many of
     // the day's 96 15-min buckets actually hold data, per series.
     "q_coverage" -> ((s, dir) =>
@@ -687,6 +707,20 @@ object EventQueries {
          |    CAST(sum(n*sum_cents) AS BIGINT) AS sxy,
          |    CAST(sum(sum_cents*sum_cents) AS BIGINT) AS syy
          |  FROM ($T1H) h GROUP BY 1) p""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH d AS (SELECT event_type, bucket_ts, n FROM ($T1D) t1d),
+         |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+         |               count(*) AS cnt FROM d GROUP BY 1),
+         |hot AS (SELECT d.event_type, d.bucket_ts AS start_ts,
+         |               d.bucket_ts + 86400 AS end_ts
+         |        FROM d JOIN tot USING (event_type)
+         |        WHERE d.n * tot.cnt > tot.total)
+         |SELECT e.event_type, h.start_ts, count(*) AS n_events,
+         |  CAST(sum(e.cents) AS BIGINT) AS cents_sum
+         |FROM $EV e JOIN hot h ON e.event_type = h.event_type
+         |  AND e.epoch_s >= h.start_ts AND e.epoch_s < h.end_ts
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_coverage" ->
       s"""SELECT event_type, bucket_ts//86400*86400 AS day_ts,

@@ -344,4 +344,38 @@ object TimeSeriesOps {
         count(col(valueCol)).as("n_obs"),
         count(lit(1)).as("n_rows")
       )
+
+  /** Range (interval) join: point rows matched to the intervals that
+    * contain them — `start <= ts < end` per key (half-open, the
+    * time-series idiom). The naive inequality join plans a
+    * BroadcastNestedLoopJoin (O(points × intervals) compared pairs, one
+    * broadcast side — dead at crawl scale). Instead each interval
+    * EXPLODES into the fixed-width time buckets it overlaps and points
+    * join on (key…, bucket) EQUI-keys with the range as a residual
+    * predicate: the shuffle hash-partitions on (key, bucket), Catalyst
+    * plans a hash/sort-merge join (PlansSpec-asserted), and each point
+    * meets only the intervals overlapping its own bucket. `bucketSec`
+    * trades interval fan-out against join selectivity — pick it near
+    * the typical interval length so the explode factor stays O(1); a
+    * point matches a given interval in exactly ONE bucket (its own), so
+    * no post-join dedup is needed.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSec: Long
+  ): DataFrame = {
+    val ivs = intervals
+      .filter(col(endCol) > col(startCol)) // empty intervals match nothing
+      .withColumn("_rj_bucket", explode(expr(
+        s"sequence($startCol div $bucketSec, ($endCol - 1) div $bucketSec)")))
+    val pts = points.withColumn("_rj_bucket", expr(s"$tsCol div $bucketSec"))
+    pts.join(ivs, keyCols :+ "_rj_bucket",  "inner")
+      .filter(col(startCol) <= col(tsCol) && col(tsCol) < col(endCol))
+      .drop("_rj_bucket")
+  }
 }

@@ -236,6 +236,38 @@ class TierSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("rangeJoin == brute-force inequality join; plans equi-join, never nested-loop") {
+    val rnd = new java.util.Random(11)
+    val pts = (1 to 4000).map { i =>
+      (s"k${rnd.nextInt(4)}", 1000L + rnd.nextInt(100000), i.toLong)
+    }.toDF("k", "ts", "id")
+    // seeded intervals: some multi-bucket, some sub-bucket, one empty,
+    // plus exact-boundary cases around ts=1000
+    val ivs = ((1 to 60).map { i =>
+      val st = 1000L + rnd.nextInt(100000)
+      (s"k${rnd.nextInt(4)}", st, st + 1 + rnd.nextInt(30000), i.toLong)
+    } ++ Seq(("k0", 1000L, 1000L, 900L),      // empty: matches nothing
+      ("k0", 1000L, 1001L, 901L),              // ts==start matches
+      ("k1", 900L, 1000L, 902L)))              // ts==end does not
+      .toDF("k", "start_ts", "end_ts", "iid")
+    for (bucket <- Seq(1000L, 7777L, 200000L)) {
+      val got = TimeSeriesOps.rangeJoin(pts, ivs, Seq("k"), "ts",
+          "start_ts", "end_ts", bucket)
+        .select("k", "id", "iid")
+      val brute = pts.join(ivs, Seq("k"))
+        .filter(col("start_ts") <= col("ts") && col("ts") < col("end_ts"))
+        .select("k", "id", "iid")
+      assert(got.except(brute).isEmpty && brute.except(got).isEmpty,
+        s"bucket=$bucket diverges from brute force")
+      assert(got.count() == brute.count(), s"bucket=$bucket dup/dropped rows")
+    }
+    val plan = TimeSeriesOps.rangeJoin(pts, ivs, Seq("k"), "ts",
+        "start_ts", "end_ts", 7777L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("analytics queries: z-score, profile, correlation, coverage invariants") {
     import graft.queries.EventQueries
     val dir = SparkTestSession.sf0001
