@@ -156,6 +156,18 @@ class PlansSpec extends AnyFunSuite {
       s"quotaSample must push the cap into a window group limit:\n$plan")
   }
 
+  test("topNgrams plans partial agg + WindowGroupLimit: a hot language never fully sorts") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val df = graft.text.TextOps.topNgrams(docs, "lang", "text", 2, 20)
+    val plan = df.queryExecution.executedPlan.toString
+    // the n-gram count collapses map-side (partial_count before the
+    // exchange) and `rank <= k` pushes into a per-group top-k heap
+    assert(plan.contains("WindowGroupLimit"),
+      s"topNgrams must push k into a window group limit:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"n-gram counting must partial-aggregate before the shuffle:\n$plan")
+  }
+
   test("ivfAssign is a pure projection: no Window, no Sort, no Exchange") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
