@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, PageQueries, RelationalQueries, RetentionQueries, SimQueries, TextQueries}
+import graft.queries.{EventQueries, PageQueries, RelationalQueries, RetentionQueries, SimQueries, TextQueries, WebQueries}
 
 /** Driver contract: the engine's query surface with per-query DuckDB
   * oracles. See SURVEY.md §2 for the operator inventory each query covers.
@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ PageQueries.queries ++ RelationalQueries.queries ++
-      TextQueries.queries ++ SimQueries.queries ++ RetentionQueries.queries
+      TextQueries.queries ++ SimQueries.queries ++ RetentionQueries.queries ++
+      WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit only for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     EventQueries.oracleSql ++ PageQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      TextQueries.oracleSql ++ SimQueries.oracleSql ++ RetentionQueries.oracleSql
+      TextQueries.oracleSql ++ SimQueries.oracleSql ++ RetentionQueries.oracleSql ++
+      WebQueries.oracleSql
 }

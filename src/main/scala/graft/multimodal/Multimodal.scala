@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads as opaque `binary` columns
@@ -27,6 +27,31 @@ import org.apache.spark.sql.functions._
   *    ffmpeg-style call, not the pipeline.
   */
 object Multimodal {
+
+  /** Content-type sniffing by magic bytes (T35) — the crawl-side triage
+    * that routes a fetched payload to the right decode path BEFORE
+    * trusting any server-declared Content-Type. Pure codegen'd column
+    * expression over the first bytes' hex: no UDF, runs inside the scan
+    * projection. Covers the container formats the engine decodes (png /
+    * jpeg / gif / wav / avi / mp4 / gzip / zip-ooxml) plus html-by-lead-
+    * tag; everything else is octet-stream.
+    */
+  def detectMime(bin: Column): Column = {
+    val h12 = upper(hex(substring(bin, 1, 12)))
+    def lead(n: Int) = substring(h12, 1, n)
+    when(lead(8) === "89504E47", "image/png")
+      .when(lead(4) === "FFD8", "image/jpeg")
+      .when(lead(6) === "474946", "image/gif")
+      .when(lead(8) === "52494646" &&
+        substring(h12, 17, 8) === "57415645", "audio/wav")
+      .when(lead(8) === "52494646" &&
+        substring(h12, 17, 8) === "41564920", "video/x-msvideo")
+      .when(substring(h12, 9, 8) === "66747970", "video/mp4") // ftyp at +4
+      .when(lead(4) === "1F8B", "application/gzip")
+      .when(lead(8) === "504B0304", "application/zip")
+      .when(lead(2) === "3C", "text/html") // '<'
+      .otherwise("application/octet-stream")
+  }
 
   final case class MediaMeta(
       url: String,

@@ -165,6 +165,73 @@ object TextQueries {
       TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 13)
     }),
 
+    // T35 content-type sniffing: six payload kinds per doc_id arithmetic,
+    // REAL bytes from the multimodal synthesizers (+ JDK gzip + html) —
+    // the engine must recover the kind from magic bytes alone
+    "q_mime" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = (id % 6) match {
+            case 0 => Multimodal.synthPng(id, 8 + (id % 25).toInt, 8 + (id % 17).toInt)
+            case 1 => Multimodal.synthWav(id, 50 + (id % 100).toInt)
+            case 2 => Multimodal.synthAvi(id, 3 + (id % 4).toInt, 32, 24)
+            case 3 => Multimodal.synthMp4(id, 2 + (id % 5).toInt, 32, 24)
+            case 4 =>
+              val bo = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bo)
+              gz.write(s"doc $id".getBytes("UTF-8")); gz.close()
+              bo.toByteArray
+            case _ => s"<html><body>doc $id</body></html>".getBytes("UTF-8")
+          }
+          (s"pay://$id", bytes)
+        }).toDF("url", "payload")
+        .select(col("url"), Multimodal.detectMime(col("payload")).as("mime"))
+    }),
+
+    // T32 cross-document repeated 13-token windows (suffix-array-style
+    // shared-span signal): full copies (+300000, trailer appended) share
+    // all interior windows; partial copies (+400000, first 30 tokens +
+    // unique pad) share only the head's windows
+    "q_dup_windows" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val full = d.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" tail tok alpha")).as("text"))
+      val part = d.filter(col("doc_id") % 6 === 2)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 30)),
+            lit(" pad"), col("doc_id").cast("string"),
+            lit(" pad pad pad pad pad pad pad pad pad pad pad pad"))
+            .as("text"))
+      TextOps.dupWindowStats(d.union(full).union(part), "doc_id", "text", k = 13)
+    }),
+
+    // T33 weighted corpus mixing: per-source keep rates (src_i kept at
+    // (i+1)*5%), deterministic md5-threshold survivors
+    "q_weighted_mix" -> ((s, dir) =>
+      TextOps.weightedMix(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"),
+        "source", "doc_id",
+        (0 until 20).map(i => (s"src$i", (i + 1) * 50000L)))),
+
+    // T34 domain-level quality rollup: short-doc share per domain (url
+    // domain rule from Pages), fixed-point ppm, keep verdict — the
+    // Gopher/RefinedWeb-style domain filter
+    "q_domain_quality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          concat(lit("d"),
+            when(col("doc_id") % 5 < 2, lit(0L)).otherwise(col("doc_id") % 97)
+              .cast("string"), lit(".example")).as("domain"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tokens") < 40, 1L).otherwise(0L)).as("n_short"))
+        .withColumn("short_ppm", expr("n_short * 1000000 div n_docs"))
+        .withColumn("keep", col("short_ppm") <= 300000)),
+
     // deterministic 20% corpus sample by id-hash — same rows on every
     // engine/run/partitioning (df.sample is not reproducible cross-engine)
     "q_sample_hash" -> ((s, dir) =>
@@ -597,6 +664,62 @@ object TextQueries {
         |  CAST(count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) AS BIGINT) AS n_shared,
         |  count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) > 0 AS contaminated
         |FROM dg GROUP BY doc_id""".stripMargin,
+
+    // truth recomputed from the fixture arithmetic — a sniffer reading
+    // the wrong offsets (or a synthesizer emitting wrong magic) mismatches
+    "q_mime" ->
+      """SELECT 'pay://' || CAST(doc_id AS VARCHAR) AS url,
+        |  CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |    WHEN 2 THEN 'video/x-msvideo' WHEN 3 THEN 'video/mp4'
+        |    WHEN 4 THEN 'application/gzip' ELSE 'text/html' END AS mime
+        |FROM documents""".stripMargin,
+
+    // window STRINGS intersected directly (the engine flags via xxhash64
+    // — a collision would surface here); shingle construction mirrors
+    // TextOps.shingles incl. the < k whole-text fallback
+    "q_dup_windows" ->
+      """WITH dw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 300000, text || ' tail tok alpha'
+        |    FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT doc_id + 400000,
+        |      array_to_string(string_split_regex(trim(text), '\s+')[1:30], ' ')
+        |      || ' pad' || CAST(doc_id AS VARCHAR)
+        |      || ' pad pad pad pad pad pad pad pad pad pad pad pad'
+        |    FROM documents WHERE doc_id % 6 = 2),
+        |wins AS (SELECT doc_id AS doc, UNNEST(
+        |    CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 12),
+        |           i -> array_to_string(t[i:i+12], ' ')) END) AS w
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM dw)),
+        |hot AS (SELECT w FROM (SELECT DISTINCT doc, w FROM wins) x
+        |  GROUP BY w HAVING COUNT(*) >= 2)
+        |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(CASE WHEN w IN (SELECT w FROM hot) THEN 1 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  CAST(COUNT(CASE WHEN w IN (SELECT w FROM hot) THEN 1 END) AS BIGINT)
+        |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM wins GROUP BY doc""".stripMargin,
+
+    // thresholds exact-integer end to end: (i+1)*50000 ppm * 2^32 // 10^6
+    "q_weighted_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |  < (CAST(substr(source, 4) AS BIGINT) + 1) * 50000 * 4294967296 // 1000000""".stripMargin,
+
+    "q_domain_quality" ->
+      """SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_tokens < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(SUM(CASE WHEN n_tokens < 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS short_ppm,
+        |  (CAST(SUM(CASE WHEN n_tokens < 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(COUNT(*) AS BIGINT)) <= 300000 AS keep
+        |FROM (SELECT
+        |    'd' || CAST(CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+        |      || '.example' AS domain,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents) t
+        |GROUP BY domain""".stripMargin,
 
     // 0.2 * 2^32 = 858993459 (truncated); md5 hex agrees across engines
     "q_sample_hash" ->

@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{Pages, Warc}
+import graft.streaming.StreamingChanges
+import graft.web.Web
+
+/** Web-native pipeline queries: WARC ingestion (the container Common Crawl
+  * ships), HTML text extraction (the step that PRODUCES the byte-identity
+  * invariant text), outlink/domain link-graph statistics, and fixed-point
+  * PageRank. Fixtures are deterministic arithmetic over `documents`, so
+  * every construction and every extraction rule replays in the DuckDB
+  * oracle.
+  */
+object WebQueries {
+
+  private val P = s"(${Pages.oracleCte})"
+
+  /** Rich, crawl-shaped HTML per document: title, a script and a style
+    * block (contents must be DROPPED by extraction), a nav with absolute +
+    * relative links (+ a third link for doc_id % 3 == 0 — variable
+    * outdegree), the body text, an entity-bearing paragraph, and a footer
+    * hub link. Mirrored verbatim by [[richHtmlSql]].
+    */
+  private[queries] def richHtml(id: Column, text: Column): Column = {
+    val idS = id.cast("string")
+    concat(
+      lit("<html><head><title>Doc "), idS, lit("</title>"),
+      lit("<script type=\"text/javascript\">var id="), idS,
+      lit(";track(\"&amp;\");</script>"),
+      lit("<style>p{margin:0}</style></head><body>"),
+      lit("<nav><ul><li><a href=\"https://d"), ((id * 3 + 7) % 97).cast("string"),
+      lit(".example/p/"), (id % 500).cast("string"), lit("\">next</a></li>"),
+      lit("<li><a href=\"/local\">home</a></li>"),
+      when(id % 3 === 0,
+        concat(lit("<li><a href=\"https://d"), ((id * 5 + 11) % 97).cast("string"),
+          lit(".example/t/"), idS, lit("\">more</a></li>"))).otherwise(lit("")),
+      lit("</ul></nav>"),
+      lit("<h1>Doc "), idS, lit("</h1><p>"), text, lit("</p>"),
+      lit("<p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</p>"),
+      lit("<footer><a href=\"https://d"), (id % 5).cast("string"),
+      lit(".example/\">hub</a> 2024</footer></body></html>"))
+  }
+
+  /** DuckDB mirror of [[richHtml]] over columns doc_id, text. */
+  private val richHtmlSql: String = Seq(
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'",
+    """'<script type="text/javascript">var id=' || CAST(doc_id AS VARCHAR) || ';track("&amp;");</script>'""",
+    "'<style>p{margin:0}</style></head><body>'",
+    """'<nav><ul><li><a href="https://d' || CAST((doc_id*3+7)%97 AS VARCHAR) || '.example/p/' || CAST(doc_id%500 AS VARCHAR) || '">next</a></li>'""",
+    """'<li><a href="/local">home</a></li>'""",
+    """CASE WHEN doc_id % 3 = 0 THEN '<li><a href="https://d' || CAST((doc_id*5+11)%97 AS VARCHAR) || '.example/t/' || CAST(doc_id AS VARCHAR) || '">more</a></li>' ELSE '' END""",
+    "'</ul></nav>'",
+    "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'",
+    "'<p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</p>'",
+    """'<footer><a href="https://d' || CAST(doc_id%5 AS VARCHAR) || '.example/">hub</a> 2024</footer></body></html>'"""
+  ).mkString(" || ")
+
+  /** documents dressed as crawl pages: (doc_id, url, html). Url follows
+    * the Pages domain rule (hot d0 head), html is [[richHtml]].
+    */
+  private def webPages(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://d"),
+          when(col("doc_id") % 5 < 2, lit(0L)).otherwise(col("doc_id") % 97)
+            .cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("url"),
+        richHtml(col("doc_id"), col("text")).as("html"))
+
+  private val WEB_PAGES_SQL =
+    s"""SELECT doc_id,
+       |  'https://d' || CAST(CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+       |    || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+       |  $richHtmlSql AS html
+       |FROM documents""".stripMargin.linesIterator.map(_.trim).mkString(" ")
+
+  /** Hand-built WARC fixture, INDEPENDENT of Warc.write (so source and
+    * sink don't verify each other): two files — plain records 0..49
+    * (prefixed by a warcinfo record the reader must skip) and per-record
+    * gzip members 50..99 (the Common-Crawl layout).
+    */
+  private def handWarc(outDir: String): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    def rec(i: Int): Array[Byte] = {
+      val body = s"<html><body>w ${i.toLong * i}</body></html>".getBytes(UTF_8)
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w$i.example/p\r\n" +
+        s"WARC-Date: ${java.time.Instant.ofEpochSecond(1704067200L + i * 60)}\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\n" +
+      "Content-Length: 14\r\n\r\nrobots: obey\r\n\r\n\r\n").getBytes(UTF_8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/part-00000.warc"),
+      info ++ (0 until 50).map(rec).reduce(_ ++ _))
+    val gz = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(s"$outDir/part-00001.warc.gz"))
+    try (50 until 100).foreach { i =>
+      val m = new java.util.zip.GZIPOutputStream(gz)
+      m.write(rec(i)); m.finish()
+    } finally gz.close()
+  }
+
+  /** Pages with deterministic content REVISIONS: the fixture's text is
+    * constant per url, so a version counter is appended — it increments
+    * every (doc_id % 3 + 2) visits (change rates 1/2, 1/3, 1/4), and
+    * docs with doc_id % 7 == 0 never change (the cold bucket). Mirrored
+    * by [[REV_SQL]].
+    */
+  private def revisionPages(s: SparkSession, dir: String): DataFrame =
+    Pages.synthesize(s, dir)
+      .withColumn("text_v", concat(col("text"), lit(" v"),
+        when(col("doc_id") % 7 === 0, lit(0L))
+          .otherwise(expr("p div ((doc_id % 3 + 2) * (doc_id % 4 + 1))"))
+          .cast("string")))
+
+  private val REV_SQL =
+    "text || ' v' || CAST(CASE WHEN doc_id % 7 = 0 THEN 0 " +
+      "ELSE p // ((doc_id % 3 + 2) * (doc_id % 4 + 1)) END AS VARCHAR)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // T28 html -> text extraction over crawl-shaped html: script/style
+    // contents dropped, tags stripped, entities decoded once, whitespace
+    // normalized
+    "q_html_extract" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          Web.extractText(richHtml(col("doc_id"), col("text"))).as("txt"))),
+
+    // T29 domain link graph: outlink extraction -> absolute-only ->
+    // per-(src, dst) edge counts
+    "q_link_graph" -> ((s, dir) =>
+      Web.domainLinkGraph(webPages(s, dir), "url", "html")),
+
+    // T30 fixed-point PageRank (3 iterations, integer arithmetic) over
+    // the distinct domain edges of the link graph
+    "q_pagerank" -> ((s, dir) => {
+      val edges = Web.domainLinkGraph(webPages(s, dir), "url", "html")
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      Web.pagerankFixedPoint(edges, iters = 3)
+        .select(col("node"), col("rank").as("rank_fp"))
+    }),
+
+    // T36 anchor-text aggregation: top-3 anchor strings per target domain
+    "q_anchor_text" -> ((s, dir) =>
+      Web.anchorTexts(webPages(s, dir), "html", k = 3)),
+
+    // T31 revisit change detection: pages with deterministic content
+    // revisions (version increments every (doc_id%3+2) visits; doc_id%7==0
+    // never changes) -> per-url visit/change counts + fixed-point change
+    // rate
+    "q_change_rate" -> ((s, dir) =>
+      Web.revisitChanges(revisionPages(s, dir), "url", "warc_ts", "text_v")),
+
+    // T31b recrawl scheduling policy over the change stats
+    "q_recrawl" -> ((s, dir) =>
+      Web.recrawlSchedule(
+        Web.revisitChanges(revisionPages(s, dir), "url", "warc_ts", "text_v"))
+        .select(col("url"), col("change_ppm"), col("recrawl_s"))),
+
+    // T31-streaming: the same revision fixture drained as 7 day-sequenced
+    // visit files through the stateful change detector + MERGE sink; the
+    // drained table must equal the batch q_change_rate truth
+    "q_stream_changes" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get(Scratch.dir("stream_changes"))
+      if (java.nio.file.Files.exists(root)) {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally st.close()
+      }
+      val rp = revisionPages(s, dir).select(col("url"),
+        unix_timestamp(col("warc_ts")).as("epoch_s"),
+        col("text_v").as("text"), expr("p div 96").as("day"))
+      val srcDir = root.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      for (d <- 0 until 7) { // day-sequenced files = the ordering contract
+        val tmp = root.resolve(s"tmp$d")
+        rp.filter(col("day") === d).drop("day").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(part, srcDir.resolve(f"day-$d%02d.parquet"))
+      }
+      StreamingChanges.changeRateMerged(s, srcDir.toString, "*.parquet",
+        s"$root/table", s"$root/ckpt", maxFilesPerTrigger = 1)
+    }),
+
+    // S9 WARC source against an independent hand-built fixture (plain +
+    // per-record-gzip files, leading warcinfo record skipped)
+    "q_warc_source" -> ((s, dir) => {
+      val out = Scratch.dir("warc_src")
+      handWarc(out)
+      Warc.read(s, out)
+        .select(col("url"), unix_timestamp(col("warc_ts")).as("epoch_s"),
+          length(col("html")).cast("long").as("n_bytes"),
+          md5(col("html")).as("html_md5"))
+    }),
+
+    // S9 WARC sink+source roundtrip at volume: one day of pages through
+    // the distributed writer (8 gzip files) and back; the oracle sees only
+    // the pages derivation, so the check proves byte-exact WARC storage
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val out = Scratch.dir("warc_rt")
+      Warc.write(
+        Pages.synthesize(s, dir).where(col("p") < 96)
+          .select(col("url"), col("warc_ts"), col("html")),
+        out, nFiles = 8, gzip = true)
+      Warc.read(s, out)
+        .select(col("url"), unix_timestamp(col("warc_ts")).as("epoch_s"),
+          md5(col("html")).as("html_md5"))
+    })
+  )
+
+  private def pagerankOracle: String = {
+    val links =
+      s"""SELECT regexp_extract(url, 'https://([^/]+)', 1) AS src,
+         |  regexp_extract(href, 'https://([^/]+)', 1) AS dst
+         |FROM (SELECT url, UNNEST(${Web.extractLinksSql("html")}) AS href
+         |      FROM ($WEB_PAGES_SQL) wp) x
+         |WHERE href LIKE 'https://%'""".stripMargin
+    val iter = (prev: String) =>
+      s"""SELECT n.node, CAST(150000 + COALESCE(m.in_mass, 0) AS BIGINT) AS rank_fp
+         |FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node, SUM(r.rank_fp * 85 // (100 * o.od)) AS in_mass
+         |  FROM e JOIN $prev r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst) m USING (node)""".stripMargin
+    s"""WITH links AS ($links),
+       |e AS (SELECT DISTINCT src, dst FROM links),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes),
+       |r1 AS (${iter("r0")}),
+       |r2 AS (${iter("r1")}),
+       |r3 AS (${iter("r2")})
+       |SELECT node, rank_fp FROM r3""".stripMargin
+  }
+
+  private def changeRateCore: String =
+    s"""WITH v AS (SELECT url, epoch_s, md5($REV_SQL) AS h FROM $P pg),
+       |c AS (SELECT url, epoch_s,
+       |  CASE WHEN lag(h) OVER (PARTITION BY url ORDER BY epoch_s) IS NULL THEN 0
+       |       WHEN h <> lag(h) OVER (PARTITION BY url ORDER BY epoch_s) THEN 1
+       |       ELSE 0 END AS changed FROM v),
+       |cr AS (SELECT url, COUNT(*) AS n_visits,
+       |  CAST(SUM(changed) AS BIGINT) AS n_changes,
+       |  MIN(epoch_s) AS first_s, MAX(epoch_s) AS last_s,
+       |  CASE WHEN COUNT(*) > 1
+       |       THEN CAST(SUM(changed) AS BIGINT) * 1000000 // (COUNT(*) - 1)
+       |       ELSE CAST(0 AS BIGINT) END AS change_ppm
+       |FROM c GROUP BY url)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_change_rate" ->
+      s"""$changeRateCore
+         |SELECT url, n_visits, n_changes, first_s, last_s, change_ppm
+         |FROM cr""".stripMargin,
+
+    // same truth as q_change_rate: the streaming path must converge
+    "q_stream_changes" ->
+      s"""$changeRateCore
+         |SELECT url, n_visits, n_changes, first_s, last_s, change_ppm
+         |FROM cr""".stripMargin,
+
+    "q_recrawl" ->
+      s"""$changeRateCore
+         |SELECT url, change_ppm,
+         |  CAST(CASE WHEN change_ppm >= 500000 THEN 900
+         |            WHEN change_ppm >= 100000 THEN 3600
+         |            ELSE 86400 END AS BIGINT) AS recrawl_s
+         |FROM cr""".stripMargin,
+
+    "q_html_extract" ->
+      s"""SELECT doc_id, ${Web.extractTextSql("html")} AS txt
+         |FROM (SELECT doc_id, $richHtmlSql AS html FROM documents) h""".stripMargin,
+
+    "q_link_graph" ->
+      s"""SELECT regexp_extract(url, 'https://([^/]+)', 1) AS src_domain,
+         |  regexp_extract(href, 'https://([^/]+)', 1) AS dst_domain,
+         |  COUNT(*) AS n_links
+         |FROM (SELECT url, UNNEST(${Web.extractLinksSql("html")}) AS href
+         |      FROM ($WEB_PAGES_SQL) wp) x
+         |WHERE href LIKE 'https://%'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_pagerank" -> pagerankOracle,
+
+    // (href, anchor) pairs co-unnested positionally from the same
+    // two-group pattern, then count + rank replayed
+    "q_anchor_text" ->
+      s"""WITH pairs AS (SELECT
+         |    UNNEST(regexp_extract_all(html, '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+         |    UNNEST(regexp_extract_all(html, '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+         |  FROM ($WEB_PAGES_SQL) wp),
+         |c AS (SELECT regexp_extract(href, 'https://([^/]+)', 1) AS dst_domain,
+         |    anchor, COUNT(*) AS cnt
+         |  FROM pairs WHERE href LIKE 'https://%' GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY dst_domain
+         |    ORDER BY cnt DESC, anchor) AS rank FROM c)
+         |SELECT dst_domain, anchor, cnt, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // the hand-built fixture's arithmetic, recomputed from scratch
+    "q_warc_source" ->
+      """SELECT 'https://w' || CAST(i AS VARCHAR) || '.example/p' AS url,
+        |  CAST(1704067200 + i*60 AS BIGINT) AS epoch_s,
+        |  CAST(length(b) AS BIGINT) AS n_bytes,
+        |  md5(b) AS html_md5
+        |FROM (SELECT i, '<html><body>w ' || CAST(i*i AS VARCHAR) || '</body></html>' AS b
+        |      FROM (SELECT UNNEST(generate_series(0, 99)) AS i) g) t""".stripMargin,
+
+    "q_warc_roundtrip" ->
+      s"""SELECT url, epoch_s,
+         |  md5('<html><body>' || text || '</body></html>') AS html_md5
+         |FROM $P pg WHERE pg.p < 96""".stripMargin
+  )
+}

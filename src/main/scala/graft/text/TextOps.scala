@@ -606,6 +606,74 @@ object TextOps {
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
+  /** Cross-document repeated-window detection (T32): hash every k-token
+    * window (stride 1) of every document; a window is REPEATED iff its
+    * text occurs in >= 2 DISTINCT documents. Per-doc output:
+    * (n_windows, n_dup_windows, dup_ppm) with dup_ppm integer fixed-point
+    * — the window-granular cousin of the Lee-et-al. suffix-array exact
+    * substring dedup (long shared spans show up as runs of repeated
+    * windows), and of [[paragraphDedup]] (which needs paragraph breaks
+    * this op doesn't).
+    *
+    * Scale shape: texts never shuffle — windows move as narrow
+    * (doc, xxhash64(window)) rows; the hot set comes from a
+    * partial-agg'd distinct-doc count and the flagging join shuffles on
+    * the hash (no broadcast: a crawl's repeated-window set is huge). The
+    * window table is persisted across its two consumers. Collision note:
+    * flagging compares 64-bit hashes, the ORACLE intersects the window
+    * STRINGS — an engine hash collision would surface as a mismatch.
+    */
+  def dupWindowStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 13
+  ): DataFrame = {
+    val wins = docs.select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), k)).as("w"))
+      .select(col("doc"), xxhash64(col("w")).as("wh"))
+      .persist()
+    val hot = wins.distinct()
+      .groupBy("wh").agg(count(lit(1)).as("_n_docs"))
+      .filter(col("_n_docs") >= 2)
+      .select(col("wh"), lit(1).as("_hot"))
+    wins.join(hot, Seq("wh"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("_hot")).cast("long").as("n_dup_windows"))
+      .withColumn("dup_ppm", expr("n_dup_windows * 1000000 div n_windows"))
+  }
+
+  /** Weighted corpus mixing (T33): per-source keep RATES (not caps —
+    * that's [[quotaSample]]) applied by the same deterministic
+    * md5-threshold rule as [[sampleByHash]], so the surviving set is
+    * reproducible across engines/runs/partitionings. `weights` maps
+    * source -> keep rate in ppm (exact integers end to end: threshold =
+    * ppm * 2^32 div 10^6); unlisted sources are dropped. This is the
+    * training-mix primitive: down-weight crawl dumps, keep curated
+    * sources at 100%.
+    *
+    * Scale shape: the weight table is a literal broadcast dim; the
+    * filter is a pure projection-side predicate — no shuffle at all.
+    */
+  def weightedMix(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weightsPpm: Seq[(String, Long)]
+  ): DataFrame = {
+    val thresholds = weightsPpm.map { case (s, ppm) =>
+      (s, ppm * 4294967296L / 1000000L)
+    }
+    val thDim = df.sparkSession.createDataFrame(thresholds)
+      .toDF(sourceCol, "_th")
+    df.join(broadcast(thDim), Seq(sourceCol))
+      .filter(
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") < col("_th"))
+      .select(df.columns.map(col).toIndexedSeq: _*) // original column order
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -1,0 +1,224 @@
+package graft.web
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML-side operators of the web-pipeline: text extraction (tag strip +
+  * entity decode + whitespace normalization), outlink extraction, the
+  * domain link graph, and a fixed-point (integer-arithmetic) PageRank.
+  *
+  * The reference pipeline consumes already-extracted series; a
+  * Common-Crawl-shaped engine (BASELINE.json input_hint: pages carry raw
+  * `html` BINARY next to extracted `text`) needs the html->text step
+  * itself, because "byte-identical extracted text per url" is the per-row
+  * invariant every downstream stage is audited against. Everything here is
+  * pure codegen'd column expressions (regexp_replace / regexp_extract_all
+  * chains) — no UDFs, no shuffles until an explicit aggregation — and every
+  * rule is RE2/java.util.regex-portable so the DuckDB oracle replays it
+  * verbatim.
+  */
+object Web {
+
+  /** Plain-text extraction from raw HTML:
+    *  1. drop <script>...</script> and <style>...</style> INCLUDING their
+    *     contents ((?s) so blocks may span lines),
+    *  2. strip every remaining tag to a space,
+    *  3. decode the 6 entities that survive in body text
+    *     (&lt; &gt; &quot; &#39; &nbsp;, and &amp; LAST so "&amp;lt;"
+    *     decodes to the literal "&lt;" exactly once — single-pass
+    *     semantics),
+    *  4. collapse runs of whitespace to single spaces and trim.
+    *
+    * Output is one whitespace-normalized line per document — the same
+    * normal form the `documents` corpus uses, so for any page whose body
+    * held normalized text the extraction is byte-identical to it.
+    */
+  def extractText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The same chain as a DuckDB SQL expression over `expr` (the oracle
+    * mirror of [[extractText]] — kept adjacent so the two lists of rules
+    * cannot drift apart silently).
+    */
+  def extractTextSql(expr: String): String = {
+    val noScript = s"regexp_replace($expr, '(?s)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle = s"regexp_replace($noScript, '(?s)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noTags = s"regexp_replace($noStyle, '<[^>]*>', ' ', 'g')"
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) =>
+      s"regexp_replace($c, '$e', '$r', 'g')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** All href targets of anchor tags, in document order. Double-quoted
+    * hrefs only (the form every major generator emits); relative links are
+    * returned as-is — callers filter/resolve.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("<a[^>]*href=\"([^\"]*)\""), lit(1))
+
+  /** DuckDB mirror of [[extractLinks]]. */
+  def extractLinksSql(expr: String): String =
+    s"""regexp_extract_all($expr, '<a[^>]*href="([^"]*)"', 1)"""
+
+  /** Domain-level link graph: explode each page's outlinks, keep absolute
+    * https links, and count edges per (src_domain, dst_domain).
+    *
+    * 100 TB shape: the explode is narrow (no shuffle); only (src, dst)
+    * domain PAIRS — cardinality |domains|^2 at worst, web-graph-sparse in
+    * practice — reach the single hash aggregation, which partial-aggregates
+    * map-side before the exchange. Html bytes never shuffle.
+    */
+  def domainLinkGraph(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    pages
+      .select(
+        regexp_extract(col(urlCol), "https://([^/]+)", 1).as("src_domain"),
+        explode(extractLinks(col(htmlCol).cast("string"))).as("href"))
+      .where(col("href").startsWith("https://"))
+      .select(col("src_domain"),
+        regexp_extract(col("href"), "https://([^/]+)", 1).as("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Anchor-text aggregation (T36): the classic web-corpus signal — what
+    * OTHER pages call a target (anchor corpora train retrieval and were
+    * classic ranking features). Extracts (href, anchor-text) pairs
+    * positionally from one pattern evaluated twice (group 1 / group 2 —
+    * identical match spans, so the zip aligns), keeps absolute https
+    * links, and emits the top-`k` anchor strings per target domain by
+    * count (ties broken lexicographically ⇒ deterministic).
+    *
+    * 100 TB shape: html never shuffles — only (dst_domain, anchor) pairs
+    * reach the partial-agg'd count, and the rank window runs over
+    * already-aggregated rows with a WindowGroupLimit top-k heap.
+    */
+  def anchorTexts(pages: DataFrame, htmlCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pat = "<a[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val pairs = pages
+      .select(explode(zip_with(
+        regexp_extract_all(col(htmlCol).cast("string"), lit(pat), lit(1)),
+        regexp_extract_all(col(htmlCol).cast("string"), lit(pat), lit(2)),
+        (h, t) => struct(h.as("href"), t.as("anchor")))).as("p"))
+      .select(col("p.href").as("href"), col("p.anchor").as("anchor"))
+      .where(col("href").startsWith("https://"))
+      .select(regexp_extract(col("href"), "https://([^/]+)", 1).as("dst_domain"),
+        col("anchor"))
+    pairs.groupBy("dst_domain", "anchor").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("dst_domain"))
+          .orderBy(col("cnt").desc, col("anchor"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Revisit change detection — the crawl-freshness statistic that drives
+    * recrawl scheduling. Per url, visits ordered by `ts`: a visit is a
+    * CHANGE when its content hash differs from the previous visit's.
+    * Emits per-url (n_visits, n_changes, first/last epoch, change_ppm)
+    * where change_ppm = n_changes * 10^6 div (n_visits - 1) — integer
+    * arithmetic, reproducible bitwise under any partitioning.
+    *
+    * 100 TB shape: ONE shuffle on url (window partition key = the
+    * storage bucket key family, never the domain — no hot-domain skew),
+    * lag + aggregation collapse in the same exchange; only md5 hashes
+    * move, never document bytes.
+    */
+  def revisitChanges(pages: DataFrame, urlCol: String, tsCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("url")).orderBy(col("epoch_s"))
+    pages
+      .select(col(urlCol).as("url"),
+        unix_timestamp(col(tsCol)).as("epoch_s"),
+        md5(col(textCol)).as("h"))
+      .withColumn("changed",
+        when(lag(col("h"), 1).over(w).isNull, lit(0))
+          .when(col("h") =!= lag(col("h"), 1).over(w), lit(1))
+          .otherwise(lit(0)))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_visits"),
+        sum(col("changed")).cast("long").as("n_changes"),
+        min(col("epoch_s")).as("first_s"),
+        max(col("epoch_s")).as("last_s"))
+      .withColumn("change_ppm",
+        when(col("n_visits") > 1,
+          expr("n_changes * 1000000 div (n_visits - 1)")).otherwise(lit(0L)))
+  }
+
+  /** Recrawl scheduling over [[revisitChanges]] output: integer-threshold
+    * policy buckets (hot >= 50% change rate -> 900 s, warm >= 10% ->
+    * 3600 s, else daily). A pure projection — composes with the stats in
+    * the same stage.
+    */
+  def recrawlSchedule(changes: DataFrame): DataFrame =
+    changes.withColumn("recrawl_s",
+      when(col("change_ppm") >= 500000L, lit(900L))
+        .when(col("change_ppm") >= 100000L, lit(3600L))
+        .otherwise(lit(86400L)))
+
+  /** Fixed-point PageRank over a (src, dst) edge list: `iters` synchronous
+    * iterations of
+    *
+    *   rank'(v) = base + sum over in-edges (u,v) of (rank(u) * damp_num)
+    *                                               / (damp_den * outdeg(u))
+    *
+    * in INTEGER arithmetic (ranks are fixed-point with `scale` = 1.0).
+    * Floating-point PageRank is order-dependent under Spark's partial
+    * aggregation (double addition is non-associative), so its low bits —
+    * and any rounding of them — are not reproducible across engines or
+    * even across runs. Integer division + integer sums are exact and
+    * associative: the result is bitwise identical for ANY partitioning and
+    * replays in ANSI SQL, which is what makes the op oracle-checkable and
+    * is how a reproducible 100 TB ranking job should be built anyway.
+    * (Truncation drops ≤ damp_den*outdeg ulps per edge — immaterial at
+    * scale 10^6.)
+    *
+    * Dangling mass (nodes without outlinks) is dropped, not redistributed
+    * — the common simplified formulation; documented so the oracle states
+    * the same rule.
+    *
+    * Plan: per-iteration = one broadcast-or-shuffle hash join of the
+    * current rank table (|V| rows) against edges + one partial-agg sum by
+    * dst. Edge table and outdegrees are computed once and reused; ranks
+    * are tiny relative to edges so AQE broadcasts them.
+    */
+  def pagerankFixedPoint(
+      edges: DataFrame, // src: string, dst: string (distinct edges)
+      iters: Int = 3,
+      scale: Long = 1000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = scale * (dampDen - dampNum) / dampDen
+    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = rank
+        .join(outdeg, rank("node") === outdeg("src"))
+        .join(e, "src")
+        // `div`, not `/`: Spark's Column./ is always double division;
+        // integral `div` keeps the arithmetic exact and associative
+        .select(col("dst"),
+          expr(s"rank * $dampNum div ($dampDen * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      rank = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+    }
+    rank
+  }
+}

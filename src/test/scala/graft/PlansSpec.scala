@@ -168,6 +168,41 @@ class PlansSpec extends AnyFunSuite {
       s"n-gram counting must partial-aggregate before the shuffle:\n$plan")
   }
 
+  test("weightedMix is shuffle-free: broadcast dim + scan-side predicate only") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val mix = graft.text.TextOps.weightedMix(docs, "source", "doc_id",
+      (0 until 20).map(i => (s"src$i", (i + 1) * 50000L)))
+    val plan = mix.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      plan.contains("BroadcastHashJoin"),
+      s"weightedMix must be a broadcast join + filter, no shuffle:\n$plan")
+  }
+
+  test("revisitChanges shuffles ONCE: window partitioning on url is reused by the per-url rollup") {
+    val pages = graft.ingest.Pages.synthesize(spark, SparkTestSession.sf0001)
+    val cr = graft.web.Web.revisitChanges(pages, "url", "warc_ts", "text")
+    val plan = cr.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected exactly 1 exchange (url), got $shuffles:\n$plan")
+  }
+
+  test("domainLinkGraph partial-aggregates the edge counts before its single shuffle") {
+    val pages = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://d"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p")).as("url"),
+        concat(lit("<a href=\"https://d"), ((col("doc_id") * 3 + 1) % 11).cast("string"),
+          lit(".example/\">x</a>")).as("html"))
+    val plan = graft.web.Web.domainLinkGraph(pages, "url", "html")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"edge counting must partial-aggregate map-side:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"link graph should shuffle only aggregated domain pairs:\n$plan")
+  }
+
   test("ivfAssign is a pure projection: no Window, no Sort, no Exchange") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")

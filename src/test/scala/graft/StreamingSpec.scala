@@ -117,6 +117,42 @@ class StreamingSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 10 === 0).count())
   }
 
+  test("streaming change detection resumes across restarts == batch revisitChanges (kill/resume)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-chg-").toString
+    val srcDir = s"$base/src"
+    // run 1: a unchanged twice, b once
+    Seq(("https://a/", 100L, "v1"), ("https://a/", 200L, "v1"),
+        ("https://b/", 100L, "x"))
+      .toDF("url", "epoch_s", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val r1 = graft.streaming.StreamingChanges.changeRateMerged(spark, srcDir,
+      "*.parquet", s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    assert(r1.filter(col("url") === "https://a/")
+      .select("n_visits", "n_changes").as[(Long, Long)].head() == ((2L, 0L)))
+    // run 2 (after restart): a CHANGES, b repeats unchanged, c is new —
+    // the per-url (last hash, counters) state must bridge the restart
+    Seq(("https://a/", 300L, "v2"), ("https://b/", 200L, "x"),
+        ("https://c/", 100L, "y"))
+      .toDF("url", "epoch_s", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val r2 = graft.streaming.StreamingChanges.changeRateMerged(spark, srcDir,
+      "*.parquet", s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    val batch = graft.web.Web.revisitChanges(
+      spark.read.parquet(srcDir)
+        .select(col("url"), timestamp_seconds(col("epoch_s")).as("ts"),
+          col("text")),
+      "url", "ts", "text")
+    val cols = Seq("url", "n_visits", "n_changes", "first_s", "last_s",
+      "change_ppm").map(col)
+    assert(r2.select(cols: _*).except(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).except(r2.select(cols: _*)).isEmpty,
+      "resumed change table must equal batch revisitChanges")
+    assert(r2.filter(col("url") === "https://a/")
+      .select("n_changes").as[Long].head() == 1L)
+  }
+
   test("streaming near-dup resumes across restarts == batch minhash LSH (kill/resume)") {
     val base = Files.createTempDirectory(
       Paths.get("/root/repo/target"), "stream-neardup-").toString
