@@ -349,7 +349,10 @@ object Bench {
       "q_pages_tier15", "q_pages_1h", "q_pages_interp",
       "q_gorilla_roundtrip", "q1_pricing", "q_region_revenue",
       "q_dedup_exact", "q_minhash_pairs", "q_token_stats", "q_ann_brute",
-      "q_ann_batch", "q_ann_ivf_indexed", "q_index_read", "q_dup_clusters")
+      "q_ann_batch", "q_ann_ivf_indexed", "q_index_read", "q_dup_clusters",
+      // round-5 web-pipeline ops (additive keys — earlier-round columns
+      // stay comparable)
+      "q_html_extract", "q_link_graph", "q_change_rate", "q_dup_windows")
     // per-query warm pass at the SMALLEST fixture: compiles THIS query's
     // codegen + C2 paths (stages get the same treatment above — a
     // single-shot number reports the JIT, not the engine) WITHOUT

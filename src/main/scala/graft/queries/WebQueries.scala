@@ -107,6 +107,26 @@ object WebQueries {
     } finally gz.close()
   }
 
+  /** Head-bearing html per document (charset, title, meta description,
+    * canonical link — canonical points at doc_id % 250, so docs can share
+    * one). All fields pure doc_id arithmetic: the oracle recomputes the
+    * extraction TRUTH directly, so a broken regexp cannot hide.
+    */
+  private def metaPages(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val domS = when(id % 5 < 2, 0L).otherwise(id % 97).cast("string")
+    s.read.parquet(s"$dir/documents.parquet").select(id,
+      concat(
+        lit("<html><head><meta charset=\"UTF-8\"><title>Doc "), idS,
+        lit(" - d"), domS, lit("</title>"),
+        lit("<meta name=\"description\" content=\"synthetic page "), idS,
+        lit("\"><link rel=\"canonical\" href=\"https://d"), domS,
+        lit(".example/p/"), (id % 250).cast("string"),
+        lit("\"></head><body><p>body "), idS, lit("</p></body></html>"))
+        .as("html"))
+  }
+
   /** Pages with deterministic content REVISIONS: the fixture's text is
     * constant per url, so a version counter is appended — it increments
     * every (doc_id % 3 + 2) visits (change rates 1/2, 1/3, 1/4), and
@@ -151,6 +171,58 @@ object WebQueries {
     // T36 anchor-text aggregation: top-3 anchor strings per target domain
     "q_anchor_text" -> ((s, dir) =>
       Web.anchorTexts(webPages(s, dir), "html", k = 3)),
+
+    // T37 html head metadata: title/description/charset/canonical from a
+    // head-bearing fixture (canonical points at doc_id % 250 — a dedup
+    // signal: two docs may share a canonical)
+    "q_html_meta" -> ((s, dir) =>
+      Web.htmlMeta(metaPages(s, dir), "html")
+        .select("doc_id", "title", "meta_desc", "charset", "canonical")),
+
+    // T38 robots.txt policy: per-domain Disallow rules parsed from
+    // constructed robots files; pages are /p/ paths, so domains with
+    // k % 3 == 0 deny them
+    "q_robots" -> ((s, dir) => {
+      val doms = s.read.parquet(s"$dir/documents.parquet")
+        .select(when(col("doc_id") % 5 < 2, 0L).otherwise(col("doc_id") % 97)
+          .as("k")).distinct()
+      val robots = doms.select(
+        concat(lit("d"), col("k").cast("string"), lit(".example")).as("domain"),
+        concat(lit("User-agent: *\n"),
+          when(col("k") % 3 === 0, lit("Disallow: /p/\n")).otherwise(lit("")),
+          when(col("k") % 4 === 0, lit("Disallow: /t/\n")).otherwise(lit("")))
+          .as("txt"))
+      Web.robotsFilter(webPages(s, dir), "url",
+        Web.robotsRules(robots, "domain", "txt"))
+    }),
+
+    // T39 redirect-chain resolution: doc_id % 5 == 0 urls redirect to the
+    // (doc_id*7+3) % 500 url — chains and cycles resolve within 3 hops or
+    // come back resolved=false
+    "q_redirects" -> ((s, dir) => {
+      val u = webPages(s, dir).select(col("doc_id"), col("url"))
+      val e = u.as("a").join(u.as("b"),
+          expr("b.doc_id = (a.doc_id * 7 + 3) % 500 AND a.doc_id % 5 = 0"))
+        .select(col("a.url").as("src"), col("b.url").as("dst"))
+      Web.resolveRedirects(u, "url", e, maxHops = 3)
+    }),
+
+    // T40 crawl-frontier scheduling: change stats -> next fetch time,
+    // md5-hash politeness queue per domain, deterministic position
+    "q_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sched = Web.recrawlSchedule(
+        Web.revisitChanges(revisionPages(s, dir), "url", "warc_ts", "text_v"))
+      sched
+        .select(col("url"),
+          regexp_extract(col("url"), "https://([^/]+)", 1).as("domain"),
+          (col("last_s") + col("recrawl_s")).as("next_fetch_s"))
+        .withColumn("queue",
+          conv(substring(md5(col("domain")), 1, 8), 16, 10).cast("long") % 16)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("queue"))
+            .orderBy(col("next_fetch_s"), col("url"))))
+    }),
 
     // T31 revisit change detection: pages with deterministic content
     // revisions (version increments every (doc_id%3+2) visits; doc_id%7==0
@@ -292,6 +364,73 @@ object WebQueries {
          |GROUP BY 1, 2""".stripMargin,
 
     "q_pagerank" -> pagerankOracle,
+
+    // extraction truth recomputed directly from the fixture arithmetic
+    "q_html_meta" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' - d' || dom AS title,
+        |  'synthetic page ' || CAST(doc_id AS VARCHAR) AS meta_desc,
+        |  'utf-8' AS charset,
+        |  'https://d' || dom || '.example/p/' || CAST(doc_id % 250 AS VARCHAR) AS canonical
+        |FROM (SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 97 END AS VARCHAR) AS dom
+        |  FROM documents) t""".stripMargin,
+
+    // robots construction + Disallow parse + prefix match replayed
+    "q_robots" ->
+      s"""WITH doms AS (SELECT DISTINCT
+         |    CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 97 END AS k FROM documents),
+         |robots AS (SELECT 'd' || CAST(k AS VARCHAR) || '.example' AS domain,
+         |    'User-agent: *' || chr(10) ||
+         |    CASE WHEN k % 3 = 0 THEN 'Disallow: /p/' || chr(10) ELSE '' END ||
+         |    CASE WHEN k % 4 = 0 THEN 'Disallow: /t/' || chr(10) ELSE '' END AS txt
+         |  FROM doms),
+         |rules AS (SELECT domain, prefix FROM (
+         |    SELECT domain, regexp_extract(line, '^Disallow:\\s*(\\S+)', 1) AS prefix
+         |    FROM (SELECT domain, UNNEST(string_split(txt, chr(10))) AS line FROM robots) l)
+         |  WHERE prefix <> ''),
+         |p AS (SELECT url, regexp_extract(url, 'https://[^/]+(/.*)', 1) AS path,
+         |    regexp_extract(url, 'https://([^/]+)', 1) AS domain
+         |  FROM ($WEB_PAGES_SQL) wp)
+         |SELECT url,
+         |  SUM(CASE WHEN prefix IS NOT NULL AND starts_with(path, prefix)
+         |           THEN 1 ELSE 0 END) = 0 AS allowed
+         |FROM p LEFT JOIN rules USING (domain) GROUP BY url""".stripMargin,
+
+    // 3 unrolled hops + terminal probe
+    "q_redirects" ->
+      s"""WITH u AS (SELECT doc_id, url FROM ($WEB_PAGES_SQL) wp),
+         |e AS (SELECT a.url AS src, b.url AS dst FROM u a
+         |  JOIN u b ON b.doc_id = (a.doc_id * 7 + 3) % 500
+         |  WHERE a.doc_id % 5 = 0),
+         |h0 AS (SELECT url, url AS f, 0 AS n FROM u),
+         |h1 AS (SELECT h0.url, COALESCE(e.dst, h0.f) AS f,
+         |  h0.n + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS n
+         |  FROM h0 LEFT JOIN e ON e.src = h0.f),
+         |h2 AS (SELECT h1.url, COALESCE(e.dst, h1.f) AS f,
+         |  h1.n + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS n
+         |  FROM h1 LEFT JOIN e ON e.src = h1.f),
+         |h3 AS (SELECT h2.url, COALESCE(e.dst, h2.f) AS f,
+         |  h2.n + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS n
+         |  FROM h2 LEFT JOIN e ON e.src = h2.f)
+         |SELECT h3.url, h3.f AS final_url, CAST(h3.n AS BIGINT) AS n_hops,
+         |  (m.src IS NULL) AS resolved
+         |FROM h3 LEFT JOIN (SELECT DISTINCT src FROM e) m ON m.src = h3.f""".stripMargin,
+
+    // change stats -> fetch schedule -> md5 politeness queue + rank
+    "q_frontier" ->
+      s"""$changeRateCore,
+         |f AS (SELECT url, regexp_extract(url, 'https://([^/]+)', 1) AS domain,
+         |  last_s + CASE WHEN change_ppm >= 500000 THEN 900
+         |                WHEN change_ppm >= 100000 THEN 3600
+         |                ELSE 86400 END AS next_fetch_s
+         |  FROM cr),
+         |q AS (SELECT *, CAST('0x' || substr(md5(domain), 1, 8) AS BIGINT) % 16 AS queue
+         |  FROM f)
+         |SELECT url, domain, next_fetch_s, queue,
+         |  CAST(row_number() OVER (PARTITION BY queue
+         |    ORDER BY next_fetch_s, url) AS INT) AS pos
+         |FROM q""".stripMargin,
 
     // (href, anchor) pairs co-unnested positionally from the same
     // two-group pattern, then count + rank replayed

@@ -674,6 +674,55 @@ object TextOps {
       .select(df.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
+  /** Inverted-index build (T41): token -> document-frequency + a
+    * deterministic fingerprint of the (sorted, capped) posting list —
+    * the search-side structure a corpus engine serves lookups from.
+    * Postings are summarized as md5 of the comma-joined sorted doc ids
+    * (capped at `cap`) rather than emitted as arrays: the fingerprint is
+    * engine-portable (array hashing is not) and a wrong or misordered
+    * posting anywhere changes it.
+    *
+    * Scale shape: texts never shuffle — per-doc DISTINCT tokens explode
+    * to narrow (token, doc) rows; ONE hash aggregation per token with
+    * partial collect map-side. Posting CAPS are what make token keys
+    * (stopwords!) safe: the full list for 'the' is the classic hot key,
+    * the capped summary is bounded.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      cap: Int = 100): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        md5(array_join(
+          transform(slice(array_sort(collect_list(col("doc"))), 1, cap),
+            _.cast("string")), ",").cast("binary"))
+          .as("postings_md5"))
+
+  /** Top distinctive terms per document (T42): rank a doc's tokens by
+    * (tf DESC, corpus df ASC, token) and keep the top `k` — the
+    * integer-exact TF-IDF-shaped keyword extraction (same ordering as
+    * tf·idf for fixed tf tiers, no floats ⇒ bitwise reproducible).
+    * Plans: one partial-agg'd (doc, token) count, a broadcast-or-shuffle
+    * join to the token df table, one WindowGroupLimit top-k per doc.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("doc"),
+        explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc"))
+          .orderBy(col("tf").desc, col("df").asc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("token"), col("tf"), col("df"), col("rank"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -91,6 +91,94 @@ object Web {
       .groupBy("src_domain", "dst_domain")
       .agg(count(lit(1)).as("n_links"))
 
+  /** HTML metadata extraction (T37): title, meta description, declared
+    * charset, canonical link — the head fields every crawl pipeline
+    * indexes (and canonical is itself a dedup signal). Pure regexp
+    * projections, double-quoted attributes (the form generators emit);
+    * missing fields extract as ''.
+    */
+  def htmlMeta(pages: DataFrame, htmlCol: String): DataFrame = {
+    val h = col(htmlCol).cast("string")
+    pages
+      .withColumn("title", regexp_extract(h, "(?s)<title>(.*?)</title>", 1))
+      .withColumn("meta_desc",
+        regexp_extract(h, "<meta name=\"description\" content=\"([^\"]*)\"", 1))
+      .withColumn("charset",
+        lower(regexp_extract(h, "<meta charset=\"([^\"]*)\"", 1)))
+      .withColumn("canonical",
+        regexp_extract(h, "<link rel=\"canonical\" href=\"([^\"]*)\"", 1))
+  }
+
+  /** robots.txt rule extraction (T38): one (domain, prefix) row per
+    * `Disallow:` line. Scope: the `User-agent: *` group form (the fixture
+    * and the vast majority of real files); empty Disallow ("allow all")
+    * rows are dropped per the spec.
+    */
+  def robotsRules(robots: DataFrame, domainCol: String, txtCol: String): DataFrame =
+    robots
+      .select(col(domainCol).as("domain"),
+        explode(split(col(txtCol), "\n")).as("line"))
+      .select(col("domain"),
+        regexp_extract(col("line"), "^Disallow:\\s*(\\S+)", 1).as("prefix"))
+      .where(col("prefix") =!= "")
+
+  /** Crawl-policy filter (T38): a page is allowed unless SOME of its
+    * domain's disallow prefixes matches its path. Rules tables are tiny
+    * next to a crawl — broadcast left join, per-url bool aggregation (the
+    * join may multiply a url by its domain's rule count; the aggregate
+    * collapses it back map-side).
+    */
+  def robotsFilter(pages: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val withPath = pages.select(col(urlCol).as("url"),
+      regexp_extract(col(urlCol), "https://[^/]+(/.*)", 1).as("path"),
+      regexp_extract(col(urlCol), "https://([^/]+)", 1).as("domain"))
+    withPath.join(broadcast(rules), Seq("domain"), "left")
+      .groupBy(col("url"))
+      .agg((sum(when(col("prefix").isNotNull &&
+          col("path").startsWith(col("prefix")), 1).otherwise(0)) === 0)
+        .as("allowed"))
+  }
+
+  /** Sitemap parse (S10): explode a sitemap XML's `<loc>` entries to
+    * (domain, loc) rows — the discovery side of crawling: sitemap minus
+    * crawled = the frontier the crawler is missing. Regexp extraction
+    * (sitemap XML is flat, machine-generated); one narrow explode.
+    */
+  def parseSitemap(sitemaps: DataFrame, domainCol: String,
+      xmlCol: String): DataFrame =
+    sitemaps.select(col(domainCol).as("domain"),
+      explode(regexp_extract_all(col(xmlCol), lit("<loc>([^<]*)</loc>"),
+        lit(1))).as("loc"))
+
+  /** Redirect-chain resolution (T39): follow (src -> dst) redirect edges
+    * from every start url for up to `maxHops` hops. Emits
+    * (url, final_url, n_hops, resolved) — `resolved` false when the url
+    * still points at a redirect after the cap (cycles and over-long
+    * chains surface instead of hanging; real crawlers cap at 5-10).
+    *
+    * Each hop is one hash join of the frontier against the edge table —
+    * maxHops is a small constant, so the whole resolution is a fixed
+    * cascade Catalyst plans as ordinary joins (AQE broadcasts the side
+    * that shrinks). No driver-side iteration state.
+    */
+  def resolveRedirects(starts: DataFrame, urlCol: String, edges: DataFrame,
+      maxHops: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var cur = starts.select(col(urlCol).as("url"),
+      col(urlCol).as("final_url"), lit(0L).as("n_hops"))
+    for (_ <- 1 to maxHops) {
+      cur = cur.join(e, cur("final_url") === e("src"), "left")
+        .select(col("url"),
+          coalesce(col("dst"), col("final_url")).as("final_url"),
+          (col("n_hops") + when(col("dst").isNotNull, 1L).otherwise(0L))
+            .as("n_hops"))
+    }
+    cur.join(e.select(col("src"), lit(1).as("_more")),
+        cur("final_url") === col("src"), "left")
+      .select(col("url"), col("final_url"), col("n_hops"),
+        col("_more").isNull.as("resolved"))
+  }
+
   /** Anchor-text aggregation (T36): the classic web-corpus signal — what
     * OTHER pages call a target (anchor corpora train retrieval and were
     * classic ranking features). Extracts (href, anchor-text) pairs

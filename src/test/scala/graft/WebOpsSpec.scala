@@ -95,6 +95,51 @@ class WebOpsSpec extends AnyFunSuite {
       ("o.example", "one", 1L, 1)))
   }
 
+  test("resolveRedirects: chains resolve, cycles cap out as resolved=false, terminals stay put") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e"), ("e", "d"))
+      .toDF("src", "dst")
+    val starts = Seq("a", "b", "c", "d", "f").toDF("url")
+    val got = Web.resolveRedirects(starts, "url", edges, maxHops = 3)
+      .as[(String, String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == (("c", 2L, true)))   // two-hop chain
+    assert(got("b") == (("c", 1L, true)))
+    assert(got("c") == (("c", 0L, true)))   // terminal
+    assert(got("f") == (("f", 0L, true)))   // never redirected
+    val (fa, na, ra) = got("d")             // cycle: still redirecting at cap
+    assert(!ra && na == 3L && (fa == "d" || fa == "e"))
+  }
+
+  test("robotsRules + robotsFilter: prefix deny per domain, rule-less domains allow, empty Disallow ignored") {
+    val robots = Seq(
+      ("x.example", "User-agent: *\nDisallow: /private/\nDisallow: /tmp\nDisallow:\n"),
+      ("z.example", "User-agent: *\nDisallow:\n")) // empty = allow all
+      .toDF("domain", "txt")
+    val rules = Web.robotsRules(robots, "domain", "txt")
+    assert(rules.as[(String, String)].collect().toSet ==
+      Set(("x.example", "/private/"), ("x.example", "/tmp")))
+    val pages = Seq(
+      "https://x.example/private/1", "https://x.example/public/1",
+      "https://x.example/tmpfile", "https://y.example/private/1",
+      "https://z.example/anything").toDF("url")
+    val got = Web.robotsFilter(pages, "url", rules)
+      .as[(String, Boolean)].collect().toMap
+    assert(got == Map(
+      "https://x.example/private/1" -> false,
+      "https://x.example/public/1" -> true,
+      "https://x.example/tmpfile" -> false, // prefix match, not path-segment
+      "https://y.example/private/1" -> true,
+      "https://z.example/anything" -> true))
+  }
+
+  test("htmlMeta: fields extract independently; missing fields come back empty") {
+    val html = "<html><head><meta charset=\"UTF-8\"><title>T1\nT2</title>" +
+      "<meta name=\"description\" content=\"d e s c\"></head><body>x</body></html>"
+    val got = Web.htmlMeta(Seq(html).toDF("html"), "html")
+      .select("title", "meta_desc", "charset", "canonical")
+      .as[(String, String, String, String)].head()
+    assert(got == (("T1\nT2", "d e s c", "utf-8", "")))
+  }
+
   test("weightedMix: rate-0 source drops all, rate-1 keeps all, unlisted source dropped; repartition-invariant") {
     val df = (0L until 200L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
     val weights = Seq("s0" -> 0L, "s1" -> 1000000L, "s2" -> 500000L)
