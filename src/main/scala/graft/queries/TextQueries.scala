@@ -165,6 +165,18 @@ object TextQueries {
       TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 13)
     }),
 
+    // T41 inverted-index build: per-token document frequency + fingerprint
+    // of the sorted, capped posting list
+    "q_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", cap = 100)),
+
+    // T42 top distinctive terms per doc: (tf desc, df asc) integer rank —
+    // TF-IDF-shaped keyword extraction without floats
+    "q_top_terms" -> ((s, dir) =>
+      TextOps.topTerms(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 5)),
+
     // T35 content-type sniffing: six payload kinds per doc_id arithmetic,
     // REAL bytes from the multimodal synthesizers (+ JDK gzip + html) —
     // the engine must recover the kind from magic bytes alone
@@ -664,6 +676,32 @@ object TextQueries {
         |  CAST(count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) AS BIGINT) AS n_shared,
         |  count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) > 0 AS contaminated
         |FROM dg GROUP BY doc_id""".stripMargin,
+
+    // per-doc-distinct tokens -> df + md5 of the numerically-sorted,
+    // capped, comma-joined posting list (array hashing is not
+    // engine-portable; the string fingerprint is)
+    "q_inverted_index" ->
+      """WITH td AS (SELECT doc_id AS doc,
+        |    UNNEST(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents)
+        |SELECT token, COUNT(*) AS df,
+        |  md5(array_to_string(list_transform(list_sort(list(doc))[1:100],
+        |    x -> CAST(x AS VARCHAR)), ',')) AS postings_md5
+        |FROM td GROUP BY token""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH toks AS (SELECT doc_id AS doc,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc, token FROM toks) x GROUP BY 1),
+        |r AS (SELECT tf.doc, tf.token, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rank
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // truth recomputed from the fixture arithmetic — a sniffer reading
     // the wrong offsets (or a synthesizer emitting wrong magic) mismatches

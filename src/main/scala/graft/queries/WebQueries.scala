@@ -172,6 +172,50 @@ object WebQueries {
     "q_anchor_text" -> ((s, dir) =>
       Web.anchorTexts(webPages(s, dir), "html", k = 3)),
 
+    // S10 sitemap parse + discovery gap: per-domain sitemaps list every
+    // crawled url plus one phantom (/p/x{k}); parsed locs left-join the
+    // crawl -> crawled=false rows are the frontier the crawler is missing
+    "q_sitemap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val kc = when(id % 5 < 2, 0L).otherwise(id % 97)
+      val u = s.read.parquet(s"$dir/documents.parquet")
+        .select(kc.as("k"),
+          concat(lit("https://d"), kc.cast("string"), lit(".example/p/"),
+            id.cast("string")).as("url"))
+      val frags = u
+        .select(col("k"),
+          concat(lit("<url><loc>"), col("url"), lit("</loc></url>")).as("frag"))
+        .union(u.select(col("k")).distinct()
+          .select(col("k"),
+            concat(lit("<url><loc>https://d"), col("k").cast("string"),
+              lit(".example/p/x"), col("k").cast("string"),
+              lit("</loc></url>")).as("frag")))
+      val sitemaps = frags.groupBy(col("k"))
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", array_sort(collect_list(col("frag")))),
+          lit("</urlset>")).as("xml"))
+        .select(concat(lit("d"), col("k").cast("string"), lit(".example"))
+          .as("domain"), col("xml"))
+      val locs = Web.parseSitemap(sitemaps, "domain", "xml")
+      val crawled = u.select(col("url")).distinct()
+      locs.join(crawled, locs("loc") === crawled("url"), "left")
+        .select(col("domain"), col("loc"), col("url").isNotNull.as("crawled"))
+    }),
+
+    // T43 site clusters: connected components over the domain link graph
+    // (numeric ids parsed from the domain names; min-label propagation)
+    "q_domain_components" -> ((s, dir) => {
+      def kOf(c: org.apache.spark.sql.Column) =
+        regexp_extract(c, "d([0-9]+)\\.example", 1).cast("long")
+      val lg = Web.domainLinkGraph(webPages(s, dir), "url", "html")
+      val pairs = lg.select(kOf(col("src_domain")).as("ka"),
+          kOf(col("dst_domain")).as("kb"))
+        .where(col("ka") =!= col("kb")).distinct()
+      val nodes = pairs.select(col("ka").as("k"))
+        .union(pairs.select(col("kb").as("k"))).distinct()
+      graft.text.TextOps.dupClusters(nodes, "k", pairs, "ka", "kb")
+    }),
+
     // T37 html head metadata: title/description/charset/canonical from a
     // head-bearing fixture (canonical points at doc_id % 250 — a dedup
     // signal: two docs may share a canonical)
@@ -364,6 +408,45 @@ object WebQueries {
          |GROUP BY 1, 2""".stripMargin,
 
     "q_pagerank" -> pagerankOracle,
+
+    // sitemap construction (string_agg ordered like the engine's
+    // array_sort), <loc> extraction, crawl left-join all replayed
+    "q_sitemap" ->
+      """WITH u AS (SELECT
+        |    CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 97 END AS k,
+        |    'https://d' || CAST(CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+        |      || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |frags AS (SELECT k, '<url><loc>' || url || '</loc></url>' AS frag FROM u
+        |  UNION ALL SELECT DISTINCT k,
+        |    '<url><loc>https://d' || CAST(k AS VARCHAR) || '.example/p/x'
+        |      || CAST(k AS VARCHAR) || '</loc></url>' FROM u),
+        |sm AS (SELECT 'd' || CAST(k AS VARCHAR) || '.example' AS domain,
+        |    '<urlset>' || string_agg(frag, '' ORDER BY frag) || '</urlset>' AS xml
+        |  FROM frags GROUP BY k),
+        |locs AS (SELECT domain,
+        |    UNNEST(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc FROM sm),
+        |c AS (SELECT DISTINCT url FROM u)
+        |SELECT domain, loc, (c.url IS NOT NULL) AS crawled
+        |FROM locs LEFT JOIN c ON c.url = locs.loc""".stripMargin,
+
+    // same edges, transitive closure by recursive CTE, min-id labels
+    "q_domain_components" ->
+      s"""WITH RECURSIVE lk AS (SELECT url,
+         |    UNNEST(${Web.extractLinksSql("html")}) AS href
+         |  FROM ($WEB_PAGES_SQL) wp),
+         |pq AS (SELECT DISTINCT
+         |    TRY_CAST(regexp_extract(url, 'https://d([0-9]+)\\.example', 1) AS BIGINT) AS ka,
+         |    TRY_CAST(regexp_extract(href, 'https://d([0-9]+)\\.example', 1) AS BIGINT) AS kb
+         |  FROM lk WHERE href LIKE 'https://%'),
+         |p2 AS (SELECT ka, kb FROM pq
+         |  WHERE ka IS NOT NULL AND kb IS NOT NULL AND ka <> kb),
+         |edges AS (SELECT ka AS src, kb AS dst FROM p2 UNION SELECT kb, ka FROM p2),
+         |nodes AS (SELECT src AS k FROM edges GROUP BY 1),
+         |reach(id, r) AS (SELECT k, k FROM nodes
+         |  UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+         |SELECT id AS k, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
 
     // extraction truth recomputed directly from the fixture arithmetic
     "q_html_meta" ->

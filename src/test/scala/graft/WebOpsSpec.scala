@@ -140,6 +140,36 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got == (("T1\nT2", "d e s c", "utf-8", "")))
   }
 
+  test("invertedIndex: df counts distinct docs; postings fingerprint is the sorted joined id list") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq((2L, "y x y"), (1L, "x y"), (10L, "y z")).toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(docs, "doc_id", "text", cap = 100)
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("x") == ((2L, md5Hex("1,2"))))
+    assert(got("y") == ((3L, md5Hex("1,2,10")))) // numeric sort, not lexicographic
+    assert(got("z") == ((1L, md5Hex("10"))))
+  }
+
+  test("topTerms ranks by tf desc then corpus df asc then token") {
+    val docs = Seq((1L, "a a a b c"), (2L, "b c c")).toDF("doc_id", "text")
+    val got = TextOps.topTerms(docs, "doc_id", "text", k = 5)
+      .select("doc", "token", "rank").as[(Long, String, Int)].collect()
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.sortBy(_._3).map(_._2).toSeq }
+    assert(got(1L) == Seq("a", "b", "c")) // tf 3; tf 1 tie -> df asc ties -> token
+    assert(got(2L) == Seq("c", "b"))      // tf 2 beats tf 1
+  }
+
+  test("parseSitemap explodes loc entries per domain") {
+    val xml = "<urlset><url><loc>https://a/1</loc></url>" +
+      "<url><loc>https://a/2</loc><lastmod>2024-01-01</lastmod></url></urlset>"
+    val got = Web.parseSitemap(Seq(("a.example", xml)).toDF("domain", "xml"),
+      "domain", "xml").as[(String, String)].collect().toSeq
+    assert(got == Seq(("a.example", "https://a/1"), ("a.example", "https://a/2")))
+  }
+
   test("weightedMix: rate-0 source drops all, rate-1 keeps all, unlisted source dropped; repartition-invariant") {
     val df = (0L until 200L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
     val weights = Seq("s0" -> 0L, "s1" -> 1000000L, "s2" -> 500000L)
