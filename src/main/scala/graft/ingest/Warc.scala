@@ -44,6 +44,17 @@ object Warc {
 
   private val Magic = "WARC/1.0"
 
+  /** Close-shield so per-record gzip members can be close()d (releasing
+    * their native Deflater) without closing the shared file stream.
+    */
+  private class NoCloseStream(out: OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    // delegate block writes (FilterOutputStream's default is per-byte)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      out.write(b, off, len)
+    override def close(): Unit = out.flush()
+  }
+
   // ---------------------------------------------------------------- write
 
   /** Distributed sink: `df` must carry (url STRING, warc_ts TIMESTAMP,
@@ -84,9 +95,14 @@ object Warc {
     rec.write(httpBytes)
     rec.write("\r\n\r\n".getBytes(UTF_8))
     if (gzip) {
-      val gz = new GZIPOutputStream(out)
+      // close() (not just finish()) so the member's native Deflater is
+      // released immediately — finish() alone leaks ~256 KB of native
+      // memory per record until finalization, which at millions of
+      // records per file is a machine-killer. The shield keeps the
+      // underlying file stream open across members.
+      val gz = new GZIPOutputStream(new NoCloseStream(out))
       gz.write(rec.toByteArray)
-      gz.finish() // member trailer only — the underlying stream stays open
+      gz.close()
     } else out.write(rec.toByteArray)
   }
 
@@ -94,75 +110,135 @@ object Warc {
 
   /** Distributed source: every `.warc` / `.warc.gz` under `dir` becomes
     * one task; yields (url STRING, warc_ts TIMESTAMP, html BINARY).
+    *
+    * The task STREAMS the file from its path (Hadoop FS, so the same
+    * code reads HDFS/S3 on a cluster): task memory is O(gzip buffer) +
+    * O(one record), never O(file) — buffering whole crawl files as byte
+    * arrays (the `binaryFile` content column) put ~3 concurrent copies
+    * of each file on the heap and OOM'd a 4 GB / 64-file read at 16 GiB;
+    * real CC files are ~1 GB, where whole-file buffering is simply not
+    * an option.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*")
       .load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(bytes => parseAll(bytes))
+      .select(col("path"))
+      .as[String]
+      .flatMap { p =>
+        val uri = new java.net.URI(p)
+        val fs = org.apache.hadoop.fs.FileSystem.get(uri,
+          new org.apache.hadoop.conf.Configuration())
+        parseStream(fs.open(new org.apache.hadoop.fs.Path(uri)),
+          gz = p.endsWith(".gz"))
+      }
       .toDF("url", "epoch_s", "html")
       .select(col("url"), timestamp_seconds(col("epoch_s")).as("warc_ts"),
         col("html"))
   }
 
-  /** Parse a whole warc file (gunzipping first when the magic says so).
-    * Tolerates trailing truncation: a record whose Content-Length runs
-    * past the buffer is dropped, not an error (crawls truncate).
+  /** Parse a whole warc file eagerly (test/convenience surface). */
+  def parseAll(raw: Array[Byte]): Seq[(String, Long, Array[Byte])] =
+    parseIter(raw).toSeq
+
+  /** In-memory convenience over [[parseStream]] (gzip sniffed by magic). */
+  def parseIter(raw: Array[Byte]): Iterator[(String, Long, Array[Byte])] =
+    parseStream(new java.io.ByteArrayInputStream(raw),
+      gz = raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+
+  /** STREAMING record parser: reads one record at a time off the (plain
+    * or multi-member-gzip) stream — task memory is the 64 KB buffers
+    * plus ONE record, independent of file size; whole-file buffering
+    * cannot survive ~1 GB crawl files × 32 concurrent tasks. Tolerance:
+    * a record whose Content-Length outruns the stream, a truncated
+    * header, or a corrupt gzip tail ends iteration cleanly (crawls
+    * truncate); non-`response` records are skipped.
     */
-  def parseAll(raw: Array[Byte]): Seq[(String, Long, Array[Byte])] = {
-    val bytes =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        gunzipAll(raw)
-      else raw
-    val recs = Seq.newBuilder[(String, Long, Array[Byte])]
-    var pos = 0
-    while (pos >= 0 && pos + Magic.length <= bytes.length &&
-        new String(bytes, pos, Magic.length, UTF_8) == Magic) {
-      val hEnd = indexOf(bytes, "\r\n\r\n".getBytes(UTF_8), pos)
-      if (hEnd < 0) pos = -1
-      else {
-        val headers = new String(bytes, pos, hEnd - pos, UTF_8)
-          .split("\r\n").iterator
-          .map(_.split(":", 2)).collect { case Array(k, v) => (k.trim, v.trim) }
-          .toMap
-        val len = headers.get("Content-Length").map(_.toInt).getOrElse(-1)
-        val bodyStart = hEnd + 4
-        if (len < 0 || bodyStart + len > bytes.length) pos = -1 // truncated
-        else {
-          if (headers.get("WARC-Type").contains("response")) {
-            val http = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + len)
-            val split = indexOf(http, "\r\n\r\n".getBytes(UTF_8), 0)
-            if (split >= 0)
-              recs += ((
-                headers.getOrElse("WARC-Target-URI", ""),
-                Instant.parse(headers.getOrElse("WARC-Date", "1970-01-01T00:00:00Z"))
-                  .getEpochSecond,
-                java.util.Arrays.copyOfRange(http, split + 4, http.length)))
+  def parseStream(in0: java.io.InputStream,
+      gz: Boolean): Iterator[(String, Long, Array[Byte])] = {
+    val in = new java.io.BufferedInputStream(
+      if (gz) new GZIPInputStream(in0, 65536) else in0, 65536)
+    val sep = "\r\n\r\n".getBytes(UTF_8)
+    new Iterator[(String, Long, Array[Byte])] {
+      private var nextRec: (String, Long, Array[Byte]) = _
+      private var done = false
+      advance()
+
+      // consume up to and including CRLFCRLF; null on EOF/truncation
+      private def readHeaderBlock(): String = {
+        val buf = new ByteArrayOutputStream(256)
+        var matched = 0
+        var c = in.read()
+        while (c >= 0) {
+          buf.write(c)
+          matched =
+            if (c == sep(matched)) matched + 1
+            else if (c == '\r') 1
+            else 0
+          if (matched == 4)
+            return new String(buf.toByteArray, 0, buf.size - 4, UTF_8)
+          c = in.read()
+        }
+        null
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        try {
+          while (nextRec == null && !done) {
+            val hdr = readHeaderBlock()
+            if (hdr == null || !hdr.startsWith(Magic)) { done = true; in.close() }
+            else {
+              val headers = hdr.split("\r\n").iterator
+                .map(_.split(":", 2))
+                .collect { case Array(k, v) => (k.trim, v.trim) }.toMap
+              val len = headers.get("Content-Length").map(_.toInt).getOrElse(-1)
+              if (len < 0) { done = true; in.close() }
+              else {
+                val http = in.readNBytes(len)
+                if (http.length < len) { done = true; in.close() } // truncated
+                else {
+                  if (headers.get("WARC-Type").contains("response")) {
+                    val split = findBytes(http, sep, 0)
+                    if (split >= 0)
+                      nextRec = (
+                        headers.getOrElse("WARC-Target-URI", ""),
+                        Instant.parse(headers.getOrElse("WARC-Date",
+                          "1970-01-01T00:00:00Z")).getEpochSecond,
+                        java.util.Arrays.copyOfRange(http, split + 4, http.length))
+                  }
+                  // skip the inter-record CR/LF run (peek via mark/reset)
+                  var skipping = true
+                  while (skipping) {
+                    in.mark(1)
+                    val c = in.read()
+                    if (c != '\r' && c != '\n') {
+                      if (c >= 0) in.reset()
+                      skipping = false
+                    }
+                  }
+                }
+              }
+            }
           }
-          pos = bodyStart + len
-          // skip the inter-record \r\n\r\n (tolerate its absence at EOF)
-          while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n'))
-            pos += 1
+        } catch {
+          case _: java.io.IOException => // corrupt/truncated tail
+            done = true
+            try in.close() catch { case _: java.io.IOException => () }
         }
       }
+      def hasNext: Boolean = nextRec != null
+      def next(): (String, Long, Array[Byte]) = {
+        val r = nextRec; advance(); r
+      }
     }
-    recs.result()
   }
 
-  /** Decompress a multi-member gzip stream (one member per record). */
-  private def gunzipAll(raw: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw))
-    val out = new ByteArrayOutputStream(raw.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
-
-  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+  // NOT named `indexOf`: called from inside an anonymous Iterator subclass,
+  // where that name resolves to Iterator.indexOf — auto-tupling makes a
+  // 3-arg call COMPILE against it and silently search the iterator itself
+  private def findBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = from
     val last = hay.length - needle.length
     while (i <= last) {
