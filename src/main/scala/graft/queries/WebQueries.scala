@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ingest.{Pages, Warc}
-import graft.streaming.StreamingChanges
+import graft.streaming.{StreamingChanges, StreamingWarc}
 import graft.web.Web
 
 /** Web-native pipeline queries: WARC ingestion (the container Common Crawl
@@ -320,6 +320,25 @@ object WebQueries {
           md5(col("html")).as("html_md5"))
     }),
 
+    // S9-streaming: the same day of warc files ingested as a FILE STREAM
+    // (2 files per micro-batch) through the stateless parse + MERGE sink;
+    // the drained table must equal the batch roundtrip truth
+    "q_stream_warc" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get(Scratch.dir("stream_warc"))
+      if (java.nio.file.Files.exists(root)) {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally st.close()
+      }
+      Warc.write(
+        Pages.synthesize(s, dir).where(col("p") < 96)
+          .select(col("url"), col("warc_ts"), col("html")),
+        s"$root/src", nFiles = 8, gzip = true)
+      StreamingWarc.ingestMerged(s, s"$root/src", s"$root/table",
+        s"$root/ckpt", maxFilesPerTrigger = 2)
+    }),
+
     // S9 WARC sink+source roundtrip at volume: one day of pages through
     // the distributed writer (8 gzip files) and back; the oracle sees only
     // the pages derivation, so the check proves byte-exact WARC storage
@@ -540,6 +559,12 @@ object WebQueries {
         |      FROM (SELECT UNNEST(generate_series(0, 99)) AS i) g) t""".stripMargin,
 
     "q_warc_roundtrip" ->
+      s"""SELECT url, epoch_s,
+         |  md5('<html><body>' || text || '</body></html>') AS html_md5
+         |FROM $P pg WHERE pg.p < 96""".stripMargin,
+
+    // same truth as q_warc_roundtrip: the streaming ingest must converge
+    "q_stream_warc" ->
       s"""SELECT url, epoch_s,
          |  md5('<html><body>' || text || '</body></html>') AS html_md5
          |FROM $P pg WHERE pg.p < 96""".stripMargin

@@ -117,6 +117,40 @@ class StreamingSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 10 === 0).count())
   }
 
+  test("streaming warc ingestion resumes across restarts == batch Warc.read (kill/resume)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-warc-").toString
+    val srcDir = s"$base/src"
+    def wave(tag: String, ids: Seq[Int]): Unit = {
+      val df = ids.map(i => (s"https://w$i.example/$tag", 1704067200L + i * 60,
+          s"<html>$tag $i</html>".getBytes("UTF-8")))
+        .toDF("url", "e", "html")
+        .select(col("url"), timestamp_seconds(col("e")).as("warc_ts"), col("html"))
+      graft.ingest.Warc.write(df, s"$base/tmp_$tag", nFiles = 2, gzip = true)
+      Files.createDirectories(Paths.get(srcDir))
+      val st = Files.list(Paths.get(s"$base/tmp_$tag"))
+      try st.forEach(p => Files.move(p,
+        Paths.get(srcDir, s"${tag}_${p.getFileName}")))
+      finally st.close()
+    }
+    wave("a", 0 until 40)
+    val r1 = graft.streaming.StreamingWarc.ingestMerged(spark, srcDir,
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    assert(r1.count() == 40)
+    wave("b", 40 until 70) // lands AFTER the restart; checkpoint must
+    val r2 = graft.streaming.StreamingWarc.ingestMerged(spark, srcDir,
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    val batch = graft.ingest.Warc.read(spark, srcDir)
+      .select(col("url"), unix_timestamp(col("warc_ts")).as("epoch_s"),
+        md5(col("html")).as("html_md5"))
+    val cols = Seq("url", "epoch_s", "html_md5").map(col)
+    assert(r2.select(cols: _*).except(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).except(r2.select(cols: _*)).isEmpty,
+      "resumed warc table must equal the batch read")
+    assert(r2.count() == 70)
+  }
+
   test("streaming change detection resumes across restarts == batch revisitChanges (kill/resume)") {
     import spark.implicits._
     val base = Files.createTempDirectory(
