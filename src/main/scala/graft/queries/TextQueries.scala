@@ -165,6 +165,30 @@ object TextQueries {
       TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 13)
     }),
 
+    // T45 CAPSTONE corpus release gate: the conjunction a corpus actually
+    // ships through — exact-dedup keeper AND length gate AND repetition
+    // gate AND benchmark-clean — per-doc verdicts plus the final keep
+    "q_corpus_filter" -> ((s, dir) => {
+      val d = docsWithDups(s, dir)
+      val keepers = TextOps.exactDedupe(d, "doc_id", "text")
+        .select(col("keeper").as("doc_id"), lit(true).as("_k"))
+      val bench = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+      val contam = TextOps.decontaminate(d, "doc_id", "text", bench, "text", n = 13)
+        .select(col("doc").as("doc_id"), col("contaminated"))
+      val sh = TextOps.shingles(col("text"), 3)
+      d.join(keepers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_k"), lit(false)).as("is_keeper"),
+          size(TextOps.tokens(col("text"))).between(20, 95).as("len_ok"),
+          (size(array_distinct(sh)).cast("double") / size(sh) >= 0.5)
+            .as("rep_ok"),
+          (!coalesce(col("contaminated"), lit(false))).as("clean"))
+        .withColumn("keep",
+          col("is_keeper") && col("len_ok") && col("rep_ok") && col("clean"))
+    }),
+
     // T41 inverted-index build: per-token document frequency + fingerprint
     // of the sorted, capped posting list
     "q_inverted_index" -> ((s, dir) =>
@@ -676,6 +700,42 @@ object TextQueries {
         |  CAST(count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) AS BIGINT) AS n_shared,
         |  count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) > 0 AS contaminated
         |FROM dg GROUP BY doc_id""".stripMargin,
+
+    // every gate replayed: min-id dedup keeper, token-length window,
+    // distinct-shingle share, gram intersection vs the bench set
+    "q_corpus_filter" ->
+      (s"""WITH d AS (SELECT doc_id, text FROM $DOCS_DUP dd),
+        |keepers AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM d GROUP BY md5(text)),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |bg AS (SELECT DISTINCT UNNEST(
+        |    CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 12),
+        |           i -> array_to_string(t[i:i+12], ' ')) END) AS g
+        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM bench) bt),
+        |dg AS (SELECT doc_id, UNNEST(list_distinct(
+        |    CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 12),
+        |           i -> array_to_string(t[i:i+12], ' ')) END)) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d) dt),
+        |contam AS (SELECT doc_id,
+        |    count(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END) > 0 AS contaminated
+        |  FROM dg GROUP BY doc_id),
+        |sh AS (SELECT doc_id, len(t) AS n_tokens,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d) st)
+        |SELECT d.doc_id,
+        |  (k.doc_id IS NOT NULL) AS is_keeper,
+        |  sh.n_tokens BETWEEN 20 AND 95 AS len_ok,
+        |  (CAST(len(list_distinct(sh.s)) AS DOUBLE) / len(sh.s)) >= 0.5 AS rep_ok,
+        |  NOT COALESCE(c.contaminated, false) AS clean,
+        |  (k.doc_id IS NOT NULL) AND (sh.n_tokens BETWEEN 20 AND 95)
+        |    AND ((CAST(len(list_distinct(sh.s)) AS DOUBLE) / len(sh.s)) >= 0.5)
+        |    AND NOT COALESCE(c.contaminated, false) AS keep
+        |FROM d LEFT JOIN keepers k ON k.doc_id = d.doc_id
+        |  LEFT JOIN contam c ON c.doc_id = d.doc_id
+        |  JOIN sh ON sh.doc_id = d.doc_id""".stripMargin),
 
     // per-doc-distinct tokens -> df + md5 of the numerically-sorted,
     // capped, comma-joined posting list (array hashing is not

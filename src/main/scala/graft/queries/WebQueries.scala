@@ -268,6 +268,26 @@ object WebQueries {
             .orderBy(col("next_fetch_s"), col("url"))))
     }),
 
+    // T44 crawl-snapshot diff: day-0 vs day-1 latest content per url ->
+    // added / gone / changed / same — the between-crawls audit table
+    "q_crawl_diff" -> ((s, dir) => {
+      // doc_id % 11 == 0 urls are ABSENT from day 0 ('added'),
+      // % 13 == 0 absent from day 1 ('gone') — all four statuses occur
+      val rp = revisionPages(s, dir).select(col("url"),
+        unix_timestamp(col("warc_ts")).as("epoch_s"),
+        md5(col("text_v")).as("h"), expr("p div 96").as("day"),
+        col("doc_id"))
+      def snap(d: Int, excl: Int, hc: String) = rp
+        .filter(col("day") === d && col("doc_id") % excl =!= 0)
+        .groupBy(col("url")).agg(expr("max_by(h, epoch_s)").as(hc))
+      snap(0, 11, "h0").join(snap(1, 13, "h1"), Seq("url"), "full")
+        .select(col("url"),
+          when(col("h0").isNull, "added")
+            .when(col("h1").isNull, "gone")
+            .when(col("h0") =!= col("h1"), "changed")
+            .otherwise("same").as("status"))
+    }),
+
     // T31 revisit change detection: pages with deterministic content
     // revisions (version increments every (doc_id%3+2) visits; doc_id%7==0
     // never changes) -> per-url visit/change counts + fixed-point change
@@ -398,6 +418,22 @@ object WebQueries {
       s"""$changeRateCore
          |SELECT url, n_visits, n_changes, first_s, last_s, change_ppm
          |FROM cr""".stripMargin,
+
+    // latest-per-day content via arg_max, statuses from the full join
+    "q_crawl_diff" ->
+      s"""WITH rp AS (SELECT url, epoch_s, md5($REV_SQL) AS h, p // 96 AS day,
+         |    doc_id
+         |  FROM $P pg),
+         |s0 AS (SELECT url, arg_max(h, epoch_s) AS h0 FROM rp
+         |  WHERE day = 0 AND doc_id % 11 <> 0 GROUP BY url),
+         |s1 AS (SELECT url, arg_max(h, epoch_s) AS h1 FROM rp
+         |  WHERE day = 1 AND doc_id % 13 <> 0 GROUP BY url)
+         |SELECT COALESCE(s0.url, s1.url) AS url,
+         |  CASE WHEN h0 IS NULL THEN 'added'
+         |       WHEN h1 IS NULL THEN 'gone'
+         |       WHEN h0 <> h1 THEN 'changed'
+         |       ELSE 'same' END AS status
+         |FROM s0 FULL OUTER JOIN s1 ON s0.url = s1.url""".stripMargin,
 
     // same truth as q_change_rate: the streaming path must converge
     "q_stream_changes" ->
