@@ -157,8 +157,15 @@ object Warc {
     */
   def parseStream(in0: java.io.InputStream,
       gz: Boolean): Iterator[(String, Long, Array[Byte])] = {
-    val in = new java.io.BufferedInputStream(
-      if (gz) new GZIPInputStream(in0, 65536) else in0, 65536)
+    // a corrupt gzip HEADER throws in the constructor, before any record
+    // — treat it like any other truncation: empty, not a task failure
+    val decoded =
+      try { if (gz) new GZIPInputStream(in0, 65536) else in0 }
+      catch { case _: java.io.IOException =>
+        try in0.close() catch { case _: java.io.IOException => () }
+        return Iterator.empty
+      }
+    val in = new java.io.BufferedInputStream(decoded, 65536)
     val sep = "\r\n\r\n".getBytes(UTF_8)
     new Iterator[(String, Long, Array[Byte])] {
       private var nextRec: (String, Long, Array[Byte]) = _

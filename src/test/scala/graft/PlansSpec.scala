@@ -203,6 +203,17 @@ class PlansSpec extends AnyFunSuite {
       s"link graph should shuffle only aggregated domain pairs:\n$plan")
   }
 
+  test("corpus release gate plans hash joins + a broadcast bench set, never a nested loop") {
+    val q = graft.SparkEntry.queries("q_corpus_filter")(
+      spark, SparkTestSession.sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"gate composition must stay hash-join-shaped:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark gram set must broadcast:\n$plan")
+  }
+
   test("ivfAssign is a pure projection: no Window, no Sort, no Exchange") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")

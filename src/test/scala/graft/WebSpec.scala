@@ -96,6 +96,17 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("warc parser: empty input, warcinfo-only files, and mid-header truncation all yield empty, not errors") {
+    assert(Warc.parseAll(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseAll(
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nmeta\r\n\r\n"
+        .getBytes("UTF-8")).isEmpty)
+    assert(Warc.parseAll(
+      "WARC/1.0\r\nWARC-Type: resp".getBytes("UTF-8")).isEmpty)
+    // corrupt gzip magic with garbage behind it: clean empty, no throw
+    assert(Warc.parseAll(Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9, 9)).isEmpty)
+  }
+
   test("warc parser: skips warcinfo records, tolerates a truncated trailing record") {
     val good = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nmeta\r\n\r\n" +
       "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ok.example/\r\n" +
