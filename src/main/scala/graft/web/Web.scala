@@ -287,10 +287,14 @@ object Web {
       scale: Long = 1000000L,
       dampNum: Long = 85,
       dampDen: Long = 100): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // persist the loop invariants: every iteration references e/outdeg/
+    // nodes, and without pinning, iteration k would recompute the whole
+    // upstream edge derivation k times (same contract as dupClusters)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist()
     val base = scale * (dampDen - dampNum) / dampDen
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
