@@ -89,6 +89,30 @@ object SimQueries {
           col("rk").cast("long").as("rk"))
     }),
 
+    // T46 product quantization, encode: 64 float dims -> 4 codes (16
+    // codes per subspace, Lloyd-trained). Encode is a pure projection
+    // over foldable book literals; oracle mirrors argmin from the dump
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, nCodes = 16)
+        .coalesce(1).write.mode("overwrite").parquet(Scratch.dir("pq_books"))
+      Ann.pqEncode(emb, "vec_id", "embedding",
+        s.read.parquet(Scratch.dir("pq_books")), dim = 64, m = 4)
+    }),
+
+    // T46 ADC search: the corpus side touches only (id, sub, code) — the
+    // raw vectors are never read; distances are exact integer sums
+    "q_pq_search" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, nCodes = 16)
+        .coalesce(1).write.mode("overwrite").parquet(Scratch.dir("pq_books_s"))
+      val bk = s.read.parquet(Scratch.dir("pq_books_s"))
+      val enc = Ann.pqEncode(emb, "vec_id", "embedding", bk, dim = 64, m = 4)
+      Ann.pqSearch(enc, bk, emb, "vec_id", "embedding",
+          queryId = 0L, k = 10, dim = 64, m = 4)
+        .select(col("vec_id"), col("dist_q"), col("rk").cast("long").as("rk"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       Ann.cosineNearDups(
         embeddingsWithNearDups(s, dir), "vec_id", "embedding",
@@ -192,6 +216,28 @@ object SimQueries {
       |  FROM scored) r
       |WHERE rk <= 10""".stripMargin
 
+  /** Shared PQ oracle CTEs over a dumped book table: quantize books and
+    * subvectors, per-(vec, sub, code) distances, deterministic argmin
+    * encode (ties to smaller code — the engine's struct-min order).
+    */
+  private def pqCtes(dump: String): String =
+    s"""bk AS (SELECT sub, code, cv FROM read_parquet('$dump/*.parquet')),
+       |bq AS (SELECT sub, code,
+       |    list_transform(cv, x -> CAST(round(x * 1048576.0) AS BIGINT)) AS qc
+       |  FROM bk),
+       |sv AS (SELECT vec_id, s.sub,
+       |    list_transform(embedding[s.sub*16+1 : s.sub*16+16],
+       |      x -> CAST(round(x * 1048576.0) AS BIGINT)) AS qv
+       |  FROM embeddings CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS sub) s),
+       |pdist AS (SELECT vec_id, sv.sub, bq.code,
+       |    CAST(list_aggregate(list_transform(generate_series(1, 16),
+       |      i -> (qv[i] - qc[i]) * (qv[i] - qc[i])), 'sum') AS BIGINT) AS d
+       |  FROM sv JOIN bq ON bq.sub = sv.sub),
+       |enc AS (SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+       |    FROM pdist) t WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // candidate selection from the ENGINE-written bucket table (multi-probe:
     // the query's bucket plus each single-bit flip), exact quantized
@@ -242,6 +288,32 @@ object SimQueries {
     // (dot / sqrt(n2_left) / sqrt(n2_right)) so the doubles are bitwise
     // identical. Direct and indexed paths dump to different dirs but
     // compute the same result.
+    // PQ: quantize + per-subspace argmin (ties to smaller code) replayed
+    // from the dumped books; the quantization is the same
+    // round-half-up fixed-point as every other embedding oracle
+    "q_pq_encode" ->
+      s"""WITH ${pqCtes(Scratch.dir("pq_books"))}
+         |SELECT vec_id, CAST(sub AS INT) AS sub, code FROM enc""".stripMargin,
+
+    "q_pq_search" ->
+      s"""WITH ${pqCtes(Scratch.dir("pq_books_s"))},
+         |qv AS (SELECT s.sub,
+         |    list_transform(embedding[s.sub*16+1 : s.sub*16+16],
+         |      x -> CAST(round(x * 1048576.0) AS BIGINT)) AS q
+         |  FROM embeddings CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS sub) s
+         |  WHERE vec_id = 0),
+         |dt AS (SELECT bq.sub, bq.code,
+         |    CAST(list_aggregate(list_transform(generate_series(1, 16),
+         |      i -> (q[i] - qc[i]) * (q[i] - qc[i])), 'sum') AS BIGINT) AS pd
+         |  FROM bq JOIN qv ON qv.sub = bq.sub),
+         |sc AS (SELECT e.vec_id, CAST(SUM(pd) AS BIGINT) AS dist_q
+         |  FROM enc e JOIN dt ON dt.sub = e.sub AND dt.code = e.code
+         |  WHERE e.vec_id <> 0 GROUP BY 1),
+         |r AS (SELECT vec_id, dist_q,
+         |    row_number() OVER (ORDER BY dist_q, vec_id) AS rk FROM sc)
+         |SELECT vec_id, dist_q, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 10""".stripMargin,
+
     "q_ann_ivf" -> ivfSqlFromDump(Scratch.dir("ivf_cents")),
     "q_ann_ivf_indexed" -> ivfSqlFromDump(s"${Scratch.dir("ivf_index")}/centroids"),
 

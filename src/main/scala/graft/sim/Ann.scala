@@ -569,4 +569,132 @@ object Ann {
           norm2Q(col("_va")), norm2Q(col("_vb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** Exact squared L2 distance between two equal-length QUANTIZED
+    * vectors, as a long — integer arithmetic, so downstream SUMs are
+    * order-independent (float distance sums are not reproducible under
+    * Spark's partial aggregation).
+    */
+  private def qdist2(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Product-quantization codebooks (T46): split the `dim`-dimensional
+    * space into `m` subspaces of dim/m and Lloyd-train `nCodes` centroids
+    * per subspace (reusing [[trainCentroids]] — deterministic seed, fixed
+    * iterations). Returns (sub INT, code LONG, cv ARRAY<DOUBLE>); callers
+    * dump this table so the DuckDB oracle mirrors encode/search from the
+    * SAME books (the ivf_cents contract).
+    *
+    * PQ is the memory-bound ANN scale path: 64 float dims (256 B) become
+    * m small codes (m bytes at nCodes<=256) — the compressed corpus fits
+    * executor memory at sizes the raw vectors never could, and ADC
+    * scoring touches only the code table.
+    */
+  def pqTrain(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 4,
+      nCodes: Int = 16,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val w = dim / m
+    val spark = vectors.sparkSession
+    val rows = (0 until m).flatMap { s =>
+      trainCentroids(
+        vectors.select(col(idCol),
+          slice(col(vecCol), s * w + 1, w).as(vecCol)),
+        idCol, vecCol, nCodes, lloydIters)
+        .map(r => org.apache.spark.sql.Row(s, r.getLong(0), r.getSeq[Double](1)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** PQ encode as a PURE PROJECTION (the ivfAssign shape): the books are
+    * folded into per-subspace literal struct arrays — RAW doubles, with
+    * [[qintCol]] applied INSIDE the foldable literal so Catalyst
+    * quantizes them once with its own round semantics — and each row
+    * computes per-subspace argmin (quantized L2, ties to the smaller
+    * code) with `transform` + `array_min`. Zero joins/shuffles/sorts;
+    * output one row per (id, sub).
+    */
+  def pqEncode(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: DataFrame,
+      dim: Int,
+      m: Int = 4
+  ): DataFrame = {
+    val w = dim / m
+    val bookRows = books.select(col("sub"), col("code"), col("cv")).collect()
+    val codeCols = (0 until m).map { s =>
+      val lits = bookRows.filter(_.getInt(0) == s).sortBy(_.getLong(1)).map { r =>
+        struct(
+          transform(array(r.getSeq[Double](2).map(lit): _*), x => qint(x))
+            .as("qc"),
+          lit(r.getLong(1)).as("code"))
+      }
+      val qsub = transform(slice(col(vecCol), s * w + 1, w),
+        x => qint(x.cast("double")))
+      array_min(transform(array(lits.toIndexedSeq: _*),
+        c => struct(qdist2(qsub, c.getField("qc")).as("d"),
+          c.getField("code").as("code"))))
+        .getField("code")
+    }
+    vectors.select(col(idCol),
+      posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+  }
+
+  /** Asymmetric-distance PQ search: per (sub, code) partial distances to
+    * the query's subvectors form a tiny broadcast table (m x nCodes
+    * rows); the encoded corpus joins it and SUMs the m integer partials
+    * per id — exact, order-independent — then takes the top-k by
+    * (distance asc, id asc). The corpus side touches only (id, sub,
+    * code): the raw vectors are never read, which is the point of PQ.
+    */
+  def pqSearch(
+      encoded: DataFrame, // (id, sub, code)
+      books: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      dim: Int,
+      m: Int = 4
+  ): DataFrame = {
+    val w = dim / m
+    val qrow = vectors.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qv"))
+    val dtab = books.crossJoin(broadcast(qrow))
+      .select(col("sub"), col("code"),
+        qdist2(
+          transform(slice(col("_qv"), col("sub") * w + 1, lit(w)),
+            x => qint(x.cast("double"))),
+          transform(col("cv"), x => qint(x))).as("_pd"))
+    val scored = encoded.filter(col(idCol) =!= queryId)
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy(col(idCol)).agg(sum(col("_pd")).as("dist_q"))
+    val top = scored.orderBy(col("dist_q"), col(idCol)).limit(k)
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col(idCol), lit(1)))
+      .orderBy(col("dist_q"), col(idCol))
+    top.withColumn("rk", row_number().over(wspec))
+  }
 }

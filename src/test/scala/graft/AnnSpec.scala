@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.sim.Ann
 
 class AnnSpec extends AnyFunSuite {
@@ -212,5 +213,52 @@ class AnnSpec extends AnyFunSuite {
         assert(f == r, s"vec $id nChunks $n: $f != $r")
       }
     }
+  }
+
+  test("pqEncode is a pure projection, repartition-invariant; codes cover the books") {
+    import graft.sim.Ann
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val books = Ann.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, nCodes = 8)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Ann.pqEncode(df, "vec_id", "embedding", books, dim = 64, m = 4)
+        .as[(Long, Int, Long)].collect().toSet
+    val e1 = enc(emb)
+    assert(e1 == enc(emb.repartition(13)))
+    assert(e1.size == emb.count() * 4)           // one code per (vec, sub)
+    assert(e1.map(_._2) == Set(0, 1, 2, 3))
+    // plan shape: no exchange, no join — books fold into the projection
+    val plan = Ann.pqEncode(emb, "vec_id", "embedding", books, 64, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join"),
+      s"encode must be projection-only:\n$plan")
+  }
+
+  test("pqSearch ADC top-k overlaps exact quantized-L2 top-k (recall floor)") {
+    import graft.sim.Ann
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val books = Ann.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, nCodes = 16)
+    val enc = Ann.pqEncode(emb, "vec_id", "embedding", books, dim = 64, m = 4)
+    val recalls = Seq(0L, 1L, 2L).map { qid =>
+      val adc = Ann.pqSearch(enc, books, emb, "vec_id", "embedding",
+        queryId = qid, k = 10, dim = 64, m = 4)
+        .select("vec_id").as[Long].collect().toSet
+      // exact top-10 by the SAME metric (quantized squared L2, full vecs)
+      val q = emb.filter(col("vec_id") === qid).select("embedding")
+        .as[Seq[Float]].head()
+      val exact = emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .collect()
+        .map { case (id, v) =>
+          val d = v.zip(q).map { case (a, b) =>
+            val qa = math.round(a.toDouble * 1048576.0)
+            val qb = math.round(b.toDouble * 1048576.0)
+            (qa - qb) * (qa - qb)
+          }.sum
+          (d, id)
+        }.sortBy(identity).take(10).map(_._2).toSet
+      adc.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean ADC recall@10 $mean below floor (per-query: $recalls)")
   }
 }
