@@ -89,6 +89,18 @@ object SimQueries {
           col("rk").cast("long").as("rk"))
     }),
 
+    // T47 IVF+PQ: probe -> ADC over codes -> exact re-rank of the
+    // shortlist — the three-stage production ANN funnel; both trained
+    // tables dumped, the oracle replays the whole funnel
+    "q_ann_ivfpq" -> ((s, dir) =>
+      Ann.ivfPqTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10, dim = 64,
+        nCentroids = 20, nProbe = 4, m = 4, nCodes = 16, rerank = 30,
+        centroidSink = Some(Scratch.dir("ivfpq_cents")),
+        bookSink = Some(Scratch.dir("ivfpq_books")))
+        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
+
     // T46 product quantization, encode: 64 float dims -> 4 codes (16
     // codes per subspace, Lloyd-trained). Encode is a pure projection
     // over foldable book literals; oracle mirrors argmin from the dump
@@ -288,6 +300,50 @@ object SimQueries {
     // (dot / sqrt(n2_left) / sqrt(n2_right)) so the doubles are bitwise
     // identical. Direct and indexed paths dump to different dirs but
     // compute the same result.
+    // the full IVF+PQ funnel replayed from BOTH dumps: assignment +
+    // probe (ivfCtes) and encode (pqCtes) share one WITH list, then
+    // candidate -> ADC shortlist -> exact cosine re-rank
+    "q_ann_ivfpq" ->
+      s"""${ivfCtes(Scratch.dir("ivfpq_cents"))},
+         |${pqCtes(Scratch.dir("ivfpq_books"))},
+         |probe AS (SELECT cell FROM (
+         |    SELECT vcc.cell, row_number() OVER (ORDER BY cos DESC, cell) AS prk
+         |    FROM vcc WHERE vec_id = 0) p WHERE prk <= 4),
+         |cand AS (SELECT vec_id FROM assigned
+         |  WHERE cell IN (SELECT cell FROM probe) AND vec_id <> 0),
+         |qsub AS (SELECT s.sub,
+         |    list_transform(embedding[s.sub*16+1 : s.sub*16+16],
+         |      x -> CAST(round(x * 1048576.0) AS BIGINT)) AS q
+         |  FROM embeddings CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS sub) s
+         |  WHERE vec_id = 0),
+         |dt AS (SELECT bq.sub, bq.code,
+         |    CAST(list_aggregate(list_transform(generate_series(1, 16),
+         |      i -> q[i] * qc[i]), 'sum') AS BIGINT) AS pd
+         |  FROM bq JOIN qsub ON qsub.sub = bq.sub),
+         |qnq AS (SELECT CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex WHERE vec_id = 0),
+         |adc AS (SELECT e.vec_id,
+         |    CAST(SUM(pd) AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE))
+         |      / sqrt(CAST(qnq.n2 AS DOUBLE)) AS acos
+         |  FROM enc e JOIN cand USING (vec_id)
+         |  JOIN dt ON dt.sub = e.sub AND dt.code = e.code
+         |  JOIN n2 nv ON nv.vec_id = e.vec_id CROSS JOIN qnq
+         |  GROUP BY e.vec_id, nv.n2, qnq.n2),
+         |short AS (SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY acos DESC, vec_id) AS rr
+         |    FROM adc) a WHERE rr <= 30),
+         |qd AS (SELECT v.vec_id, CAST(sum(v.qe * q.qe) AS BIGINT) AS dot
+         |  FROM ex v JOIN (SELECT i, qe FROM ex WHERE vec_id = 0) q ON q.i = v.i
+         |  WHERE v.vec_id IN (SELECT vec_id FROM short) GROUP BY 1),
+         |qn AS (SELECT CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex WHERE vec_id = 0),
+         |sc AS (SELECT qd.vec_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE))
+         |      / sqrt(CAST(qn.n2 AS DOUBLE)) AS cos
+         |  FROM qd JOIN n2 nv ON nv.vec_id = qd.vec_id CROSS JOIN qn),
+         |rr AS (SELECT vec_id, cos,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rk FROM sc)
+         |SELECT vec_id, cos, CAST(rk AS BIGINT) AS rk
+         |FROM rr WHERE rk <= 10""".stripMargin,
+
     // PQ: quantize + per-subspace argmin (ties to smaller code) replayed
     // from the dumped books; the quantization is the same
     // round-half-up fixed-point as every other embedding oracle

@@ -661,6 +661,91 @@ object Ann {
       posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
   }
 
+  /** IVF+PQ (T47) — the production ANN architecture (the FAISS IVF-PQ
+    * shape): IVF probing narrows the corpus to nProbe cells, ADC over the
+    * PQ codes ranks the candidates WITHOUT touching raw vectors, and only
+    * the `rerank` shortlist is re-scored exactly (quantized cosine). At
+    * 10^12 vectors: the probe prunes the scan to cell partitions, the
+    * ADC pass reads the m-byte codes, and exact scoring touches `rerank`
+    * rows — the three-stage funnel every at-scale vector store runs.
+    * Output: exact (vec_id, cos, rk) for the surviving top-k.
+    *
+    * PQ here encodes RAW vectors, not cell residuals (stated
+    * simplification — residual encoding needs per-cell books and buys
+    * precision, not a different plan shape).
+    */
+  def ivfPqTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      dim: Int,
+      nCentroids: Int = 20,
+      nProbe: Int = 4,
+      m: Int = 4,
+      nCodes: Int = 16,
+      rerank: Int = 30,
+      lloydIters: Int = 3,
+      centroidSink: Option[String] = None,
+      bookSink: Option[String] = None
+  ): DataFrame = {
+    val spark = vectors.sparkSession
+    val centRows = trainCentroids(vectors, idCol, vecCol, nCentroids, lloydIters)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), trainedCentSchema)
+    centroidSink.foreach(p =>
+      cents.coalesce(1).write.mode("overwrite").parquet(p))
+    val books = pqTrain(vectors, idCol, vecCol, dim, m, nCodes, lloydIters)
+    bookSink.foreach(p =>
+      books.coalesce(1).write.mode("overwrite").parquet(p))
+    val assigned = ivfAssignRows(vectors, idCol, vecCol, centRows,
+      org.apache.spark.sql.types.DoubleType)
+    val enc = pqEncode(vectors, idCol, vecCol, books, dim, m)
+    val q = vectors.filter(col(idCol) === queryId).select(col(vecCol).as("_qv"))
+    val probeCells = q.join(broadcast(cents))
+      .select(col("_cell"),
+        cosineQ(dotQ(col("_qv"), col("_cv")),
+          norm2Q(col("_qv")), norm2Q(col("_cv"))).as("_cos"))
+      .orderBy(col("_cos").desc, col("_cell"))
+      .limit(nProbe)
+      .select(col("_cell").as("cell"))
+    val cand = assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(probeCells), "cell")
+      .select(col(idCol))
+    // metric-consistent ADC: the final metric is cosine, so the code
+    // table approximates the DOT (exact integer partials, can be
+    // negative) and the exact per-id norms — a stored scalar next to the
+    // codes at scale — finish the cosine. L2-ADC over unnormalized
+    // vectors ranked by a different metric and cost ~3 of 10 true
+    // neighbors at the shortlist cut.
+    val w = dim / m
+    val dtab = books.crossJoin(broadcast(q))
+      .select(col("sub"), col("code"),
+        aggregate(
+          zip_with(
+            transform(slice(col("_qv"), col("sub") * w + 1, lit(w)),
+              x => qint(x.cast("double"))),
+            transform(col("cv"), x => qint(x)),
+            (a, b) => a * b),
+          lit(0L), _ + _).as("_pd"))
+    val norms = vectors.select(col(idCol), norm2Q(col(vecCol)).as("_n2"))
+    val qn2 = q.select(norm2Q(col("_qv")).as("_qn2"))
+    val shortlist = enc.join(cand, idCol)
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy(col(idCol)).agg(sum(col("_pd")).as("_dot"))
+      .join(norms, idCol).crossJoin(broadcast(qn2))
+      .select(col(idCol),
+        cosineQ(col("_dot"), col("_n2"), col("_qn2")).as("_acos"))
+      .orderBy(col("_acos").desc, col(idCol)).limit(rerank)
+      .select(col(idCol))
+    val exact = vectors.join(shortlist, idCol).crossJoin(broadcast(q))
+      .select(col(idCol),
+        cosineQ(dotQ(col(vecCol), col("_qv")),
+          norm2Q(col(vecCol)), norm2Q(col("_qv"))).as("cos"))
+    rankTopK(exact, idCol, k)
+  }
+
   /** Asymmetric-distance PQ search: per (sub, code) partial distances to
     * the query's subvectors form a tiny broadcast table (m x nCodes
     * rows); the encoded corpus joins it and SUMs the m integer partials

@@ -261,4 +261,32 @@ class AnnSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"mean ADC recall@10 $mean below floor (per-query: $recalls)")
   }
+
+  test("ivfPqTopK: with rerank >= candidates the funnel EQUALS plain IVF; tight rerank keeps a recall floor") {
+    import graft.sim.Ann
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    // rerank >= corpus: the ADC cut is a no-op, so probe + exact re-rank
+    // must reproduce ivfTopK bitwise (ids AND scores)
+    val wide = Ann.ivfPqTopK(emb, "vec_id", "embedding", 0L, 10, dim = 64,
+      nCentroids = 20, nProbe = 4, m = 4, nCodes = 16, rerank = 500)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCentroids = 20, nProbe = 4)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    assert(wide == ivf, "wide-rerank funnel must equal plain IVF exactly")
+    // tight rerank: the 4x16-code ADC cannot resolve this fixture's
+    // noise-level top-10 (the documented data ceiling), but must keep a
+    // floor and stay EXACT on whatever survives
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    val tight = Ann.ivfPqTopK(emb, "vec_id", "embedding", 0L, 10, dim = 64,
+      nCentroids = 20, nProbe = 4, m = 4, nCodes = 16, rerank = 30)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    val overlap = brute.keySet.intersect(tight.keySet)
+    assert(overlap.size >= 3, s"tight-rerank recall floor: ${overlap.size}/10")
+    overlap.foreach { id =>
+      assert(brute(id) == tight(id), s"re-ranked cos must be EXACT for $id")
+    }
+  }
+
 }
