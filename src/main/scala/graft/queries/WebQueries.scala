@@ -359,6 +359,38 @@ object WebQueries {
         s"$root/ckpt", maxFilesPerTrigger = 2)
     }),
 
+    // CAPSTONE crawl-to-corpus: the whole ingest path in ONE plan — warc
+    // container -> streaming record parse -> html->text extraction ->
+    // latest snapshot per url -> cross-url exact dedup (min-url keeper)
+    // -> length gate -> corpus rows. A reference user's end-to-end.
+    "q_crawl_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val out = Scratch.dir("crawl_corpus")
+      // content dups across urls: doc_id % 10 == 0 pages also crawled
+      // under a mirror host ('d...' < 'mirror' so the original wins)
+      val base = Pages.synthesize(s, dir).where(col("p") < 96)
+      val mirror = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("url", concat(lit("https://mirror.example/p/"),
+          col("doc_id").cast("string")))
+      Warc.write(
+        base.unionByName(mirror).select(col("url"), col("warc_ts"), col("html")),
+        out, nFiles = 8, gzip = true)
+      val txt = Warc.read(s, out)
+        .select(col("url"), unix_timestamp(col("warc_ts")).as("epoch_s"),
+          Web.extractText(col("html").cast("string")).as("text"))
+      val latest = txt
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("url")).orderBy(col("epoch_s").desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      latest
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min(col("url")).as("url"), count(lit(1)).as("n_copies"),
+          max(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+        .filter(col("n_tokens") >= 20)
+        .select(col("url"), col("text_md5"), col("n_copies"),
+          col("n_tokens").cast("long").as("n_tokens"))
+    }),
+
     // S9 WARC sink+source roundtrip at volume: one day of pages through
     // the distributed writer (8 gzip files) and back; the oracle sees only
     // the pages derivation, so the check proves byte-exact WARC storage
@@ -598,6 +630,23 @@ object WebQueries {
       s"""SELECT url, epoch_s,
          |  md5('<html><body>' || text || '</body></html>') AS html_md5
          |FROM $P pg WHERE pg.p < 96""".stripMargin,
+
+    // the whole ingest path replayed: mirror union, latest-per-url,
+    // min-url keeper dedup, length gate (extraction identity holds
+    // because pages html wraps the already-normalized text)
+    "q_crawl_corpus" ->
+      s"""WITH pg AS (SELECT * FROM $P p0 WHERE p0.p < 96),
+         |all_u AS (SELECT url, epoch_s, text FROM pg
+         |  UNION ALL SELECT 'https://mirror.example/p/' || CAST(doc_id AS VARCHAR),
+         |    epoch_s, text FROM pg WHERE doc_id % 10 = 0),
+         |latest AS (SELECT url, arg_max(text, epoch_s) AS text
+         |  FROM all_u GROUP BY url),
+         |g AS (SELECT md5(text) AS text_md5, min(url) AS url,
+         |    COUNT(*) AS n_copies,
+         |    CAST(max(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |  FROM latest GROUP BY md5(text))
+         |SELECT url, text_md5, n_copies, n_tokens
+         |FROM g WHERE n_tokens >= 20""".stripMargin,
 
     // same truth as q_warc_roundtrip: the streaming ingest must converge
     "q_stream_warc" ->
