@@ -359,6 +359,29 @@ object WebQueries {
         s"$root/ckpt", maxFilesPerTrigger = 2)
     }),
 
+    // T40b politeness scheduling: frontier + per-domain Crawl-delay
+    // (declared by even-k domains, default 5 s elsewhere) -> earliest
+    // compliant start per fetch
+    "q_frontier_polite" -> ((s, dir) => {
+      val frontier = Web.recrawlSchedule(
+        Web.revisitChanges(revisionPages(s, dir), "url", "warc_ts", "text_v"))
+        .select(col("url"),
+          regexp_extract(col("url"), "https://([^/]+)", 1).as("domain"),
+          (col("last_s") + col("recrawl_s")).as("next_fetch_s"))
+      val doms = s.read.parquet(s"$dir/documents.parquet")
+        .select(when(col("doc_id") % 5 < 2, 0L).otherwise(col("doc_id") % 97)
+          .as("k")).distinct()
+      val robots = doms.select(
+        concat(lit("d"), col("k").cast("string"), lit(".example")).as("domain"),
+        concat(lit("User-agent: *\n"),
+          when(col("k") % 2 === 0,
+            concat(lit("Crawl-delay: "), (col("k") % 7 + 1).cast("string"),
+              lit("\n"))).otherwise(lit(""))).as("txt"))
+      Web.politeSchedule(frontier,
+        Web.robotsDelays(robots, "domain", "txt"), defaultDelayS = 5L)
+        .select("url", "domain", "next_fetch_s", "delay_s", "sched_s")
+    }),
+
     // CAPSTONE crawl-to-corpus: the whole ingest path in ONE plan — warc
     // container -> streaming record parse -> html->text extraction ->
     // latest snapshot per url -> cross-url exact dedup (min-url keeper)
@@ -630,6 +653,39 @@ object WebQueries {
       s"""SELECT url, epoch_s,
          |  md5('<html><body>' || text || '</body></html>') AS html_md5
          |FROM $P pg WHERE pg.p < 96""".stripMargin,
+
+    // frontier + delay parse + closed-form spacing policy replayed
+    "q_frontier_polite" ->
+      s"""$changeRateCore,
+         |f AS (SELECT url, regexp_extract(url, 'https://([^/]+)', 1) AS domain,
+         |  last_s + CASE WHEN change_ppm >= 500000 THEN 900
+         |                WHEN change_ppm >= 100000 THEN 3600
+         |                ELSE 86400 END AS next_fetch_s
+         |  FROM cr),
+         |doms AS (SELECT DISTINCT
+         |    CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 97 END AS k FROM documents),
+         |robots AS (SELECT 'd' || CAST(k AS VARCHAR) || '.example' AS domain,
+         |    'User-agent: *' || chr(10) ||
+         |    CASE WHEN k % 2 = 0
+         |         THEN 'Crawl-delay: ' || CAST(k % 7 + 1 AS VARCHAR) || chr(10)
+         |         ELSE '' END AS txt
+         |  FROM doms),
+         |delays AS (SELECT domain, CAST(d AS BIGINT) AS delay_s FROM (
+         |    SELECT domain, regexp_extract(line, '^Crawl-delay:\\s*([0-9]+)', 1) AS d
+         |    FROM (SELECT domain, UNNEST(string_split(txt, chr(10))) AS line
+         |          FROM robots) l) x
+         |  WHERE d <> ''),
+         |j AS (SELECT f.url, f.domain, f.next_fetch_s,
+         |    COALESCE(delays.delay_s, 5) AS delay_s
+         |  FROM f LEFT JOIN delays USING (domain)),
+         |wpos AS (SELECT *,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY next_fetch_s, url) AS pos,
+         |    min(next_fetch_s) OVER (PARTITION BY domain) AS dmin
+         |  FROM j)
+         |SELECT url, domain, next_fetch_s, CAST(delay_s AS BIGINT) AS delay_s,
+         |  greatest(next_fetch_s, dmin + (pos - 1) * delay_s) AS sched_s
+         |FROM wpos""".stripMargin,
 
     // the whole ingest path replayed: mirror union, latest-per-url,
     // min-url keeper dedup, length gate (extraction identity holds

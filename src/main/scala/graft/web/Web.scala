@@ -122,6 +122,49 @@ object Web {
         regexp_extract(col("line"), "^Disallow:\\s*(\\S+)", 1).as("prefix"))
       .where(col("prefix") =!= "")
 
+  /** robots.txt Crawl-delay extraction (T38): one (domain, delay_s) row
+    * per file that declares one; callers supply the default for the
+    * rest. Integer seconds (the form real files use).
+    */
+  def robotsDelays(robots: DataFrame, domainCol: String,
+      txtCol: String): DataFrame =
+    robots
+      .select(col(domainCol).as("domain"),
+        explode(split(col(txtCol), "\n")).as("line"))
+      .select(col("domain"),
+        regexp_extract(col("line"), "^Crawl-delay:\\s*([0-9]+)", 1).as("d"))
+      .where(col("d") =!= "")
+      .select(col("domain"), col("d").cast("long").as("delay_s"))
+
+  /** Politeness scheduling (T40b): space a domain's fetches at least its
+    * Crawl-delay apart. Policy (closed-form, deterministic under any
+    * partitioning — a tightest-schedule recurrence would need a
+    * sequential scan): the i-th fetch of a domain (ordered by desired
+    * time, url) starts no earlier than the domain's FIRST desired time
+    * plus (i-1)·delay:
+    *
+    *   sched_s = greatest(next_fetch_s, min(next_fetch_s) over domain
+    *                                    + (pos_in_domain - 1) * delay_s)
+    *
+    * One window over domain — the politeness unit — so hot domains
+    * serialize exactly where the crawl must serialize anyway.
+    */
+  def politeSchedule(frontier: DataFrame, delays: DataFrame,
+      defaultDelayS: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("next_fetch_s"), col("url"))
+    frontier.join(broadcast(delays), Seq("domain"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
+      .withColumn("_pos", row_number().over(w))
+      .withColumn("_dmin",
+        min(col("next_fetch_s")).over(Window.partitionBy(col("domain"))))
+      .withColumn("sched_s",
+        greatest(col("next_fetch_s"),
+          col("_dmin") + (col("_pos") - 1) * col("delay_s")))
+      .drop("_pos", "_dmin")
+  }
+
   /** Crawl-policy filter (T38): a page is allowed unless SOME of its
     * domain's disallow prefixes matches its path. Rules tables are tiny
     * next to a crawl — broadcast left join, per-url bool aggregation (the

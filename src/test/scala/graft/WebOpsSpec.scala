@@ -170,6 +170,24 @@ class WebOpsSpec extends AnyFunSuite {
     assert(got == Seq(("a.example", "https://a/1"), ("a.example", "https://a/2")))
   }
 
+  test("politeSchedule: same-domain fetches space by Crawl-delay, declared or default; cross-domain unaffected") {
+    val frontier = Seq(
+      ("https://a.example/1", "a.example", 100L),
+      ("https://a.example/2", "a.example", 100L), // same desired time
+      ("https://a.example/3", "a.example", 130L), // beyond the spacing
+      ("https://b.example/1", "b.example", 100L),
+      ("https://b.example/2", "b.example", 101L))
+      .toDF("url", "domain", "next_fetch_s")
+    val delays = Seq(("a.example", 10L)).toDF("domain", "delay_s")
+    val got = Web.politeSchedule(frontier, delays, defaultDelayS = 5L)
+      .select("url", "sched_s").as[(String, Long)].collect().toMap
+    assert(got("https://a.example/1") == 100L)
+    assert(got("https://a.example/2") == 110L) // min + 1*10
+    assert(got("https://a.example/3") == 130L) // desired already compliant
+    assert(got("https://b.example/1") == 100L)
+    assert(got("https://b.example/2") == 105L) // default 5s spacing
+  }
+
   test("weightedMix: rate-0 source drops all, rate-1 keeps all, unlisted source dropped; repartition-invariant") {
     val df = (0L until 200L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
     val weights = Seq("s0" -> 0L, "s1" -> 1000000L, "s2" -> 500000L)
