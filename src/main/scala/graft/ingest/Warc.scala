@@ -44,6 +44,12 @@ object Warc {
 
   private val Magic = "WARC/1.0"
 
+  /** Record-header version check: any WARC/1.x (ISO 28500 revisions 1.0
+    * and 1.1 — wget already emits 1.1) — the record layout relied on here
+    * is version-stable across the 1.x line. The sink keeps writing 1.0.
+    */
+  private def isWarcMagic(hdr: String): Boolean = hdr.startsWith("WARC/1.")
+
   /** Close-shield so per-record gzip members can be close()d (releasing
     * their native Deflater) without closing the shared file stream.
     */
@@ -195,12 +201,16 @@ object Warc {
         try {
           while (nextRec == null && !done) {
             val hdr = readHeaderBlock()
-            if (hdr == null || !hdr.startsWith(Magic)) { done = true; in.close() }
+            if (hdr == null || !isWarcMagic(hdr)) { done = true; in.close() }
             else {
               val headers = hdr.split("\r\n").iterator
                 .map(_.split(":", 2))
                 .collect { case Array(k, v) => (k.trim, v.trim) }.toMap
-              val len = headers.get("Content-Length").map(_.toInt).getOrElse(-1)
+              // toIntOption, not toInt: a corrupt length field must end
+              // iteration cleanly (the documented contract), not throw
+              // NumberFormatException through the task
+              val len = headers.get("Content-Length").flatMap(_.toIntOption)
+                .getOrElse(-1)
               if (len < 0) { done = true; in.close() }
               else {
                 val http = in.readNBytes(len)
@@ -208,11 +218,16 @@ object Warc {
                 else {
                   if (headers.get("WARC-Type").contains("response")) {
                     val split = findBytes(http, sep, 0)
-                    if (split >= 0)
+                    // a malformed WARC-Date is a SKIPPED record, not a
+                    // failed task: the body was already consumed, so the
+                    // stream stays framed and iteration continues
+                    val epoch = scala.util.Try(
+                      Instant.parse(headers.getOrElse("WARC-Date",
+                        "1970-01-01T00:00:00Z")).getEpochSecond).toOption
+                    if (split >= 0 && epoch.isDefined)
                       nextRec = (
                         headers.getOrElse("WARC-Target-URI", ""),
-                        Instant.parse(headers.getOrElse("WARC-Date",
-                          "1970-01-01T00:00:00Z")).getEpochSecond,
+                        epoch.get,
                         java.util.Arrays.copyOfRange(http, split + 4, http.length))
                   }
                   // skip the inter-record CR/LF run (peek via mark/reset)
@@ -230,7 +245,10 @@ object Warc {
             }
           }
         } catch {
-          case _: java.io.IOException => // corrupt/truncated tail
+          // NonFatal, not just IOException: any unchecked surprise from a
+          // corrupt header/body (the wild-crawl reality) ends iteration
+          // cleanly instead of failing the whole Spark task/stream
+          case scala.util.control.NonFatal(_) =>
             done = true
             try in.close() catch { case _: java.io.IOException => () }
         }

@@ -41,12 +41,16 @@ object Xlsx {
   def parse(bytes: Array[Byte]): IndexedSeq[IndexedSeq[AnyRef]] = {
     var sheets = List.empty[(String, Array[Byte])]
     var sharedXml: Option[Array[Byte]] = None
+    var workbookXml: Option[Array[Byte]] = None
+    var relsXml: Option[Array[Byte]] = None
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
         val name = e.getName
         if (name == "xl/sharedStrings.xml") sharedXml = Some(readAll(zin))
+        else if (name == "xl/workbook.xml") workbookXml = Some(readAll(zin))
+        else if (name == "xl/_rels/workbook.xml.rels") relsXml = Some(readAll(zin))
         else if (name.startsWith("xl/worksheets/") && name.endsWith(".xml"))
           sheets ::= (name, readAll(zin))
         e = zin.getNextEntry
@@ -54,8 +58,58 @@ object Xlsx {
     } finally zin.close()
     require(sheets.nonEmpty, "xlsx contains no worksheet part")
     val shared = sharedXml.map(parseSharedStrings).getOrElse(Vector.empty)
-    parseSheet(sheets.minBy(_._1)._2, shared)
+    // "first sheet" = first in WORKBOOK order (xl/workbook.xml sheet list
+    // resolved through the rels part) — part FILENAMES carry no order
+    // contract (sheet10.xml sorts before sheet2.xml). Falls back to the
+    // lexically-smallest part name when either xml part is absent.
+    val first = firstSheetTarget(workbookXml, relsXml)
+      .flatMap(t => sheets.find(_._1 == t))
+      .getOrElse(sheets.minBy(_._1))
+    parseSheet(first._2, shared)
   }
+
+  /** Resolve the first workbook sheet's part name ("xl/worksheets/...")
+    * from xl/workbook.xml (sheet order + r:id) and its rels (r:id ->
+    * Target). None when either part is missing or unparsable.
+    */
+  private def firstSheetTarget(
+      workbookXml: Option[Array[Byte]],
+      relsXml: Option[Array[Byte]]
+  ): Option[String] =
+    try {
+      for {
+        wb <- workbookXml
+        rels <- relsXml
+        rid <- {
+          val r = xmlReader(wb)
+          try {
+            var found: Option[String] = None
+            while (found.isEmpty && r.hasNext) {
+              if (r.next() == XMLStreamConstants.START_ELEMENT &&
+                  r.getLocalName == "sheet")
+                found = Option(r.getAttributeValue(
+                  "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+                  "id"))
+            }
+            found
+          } finally r.close()
+        }
+        target <- {
+          val r = xmlReader(rels)
+          try {
+            var found: Option[String] = None
+            while (found.isEmpty && r.hasNext) {
+              if (r.next() == XMLStreamConstants.START_ELEMENT &&
+                  r.getLocalName == "Relationship" &&
+                  Option(r.getAttributeValue(null, "Id")).contains(rid))
+                found = Option(r.getAttributeValue(null, "Target"))
+            }
+            found
+          } finally r.close()
+        }
+      } yield if (target.startsWith("/")) target.stripPrefix("/")
+              else s"xl/$target"
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def readAll(in: java.io.InputStream): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -125,6 +179,7 @@ object Xlsx {
     var cellCol = -1
     var nextCol = 0
     var inVorT = false
+    var rowsEmitted = 0
     def put(idx: Int, v: AnyRef): Unit = {
       while (row.length < idx) row += null
       if (idx == row.length) row += v else row(idx) = v
@@ -134,7 +189,18 @@ object Xlsx {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
-              case "row" => row.clear(); nextCol = 0
+              case "row" =>
+                row.clear(); nextCol = 0
+                // honor the r= row number: Excel omits <row> elements for
+                // blank rows — insert empty rows for the gap (the row
+                // analog of the sparse-cell colIndex handling), else all
+                // later rows silently shift up and header/data misalign
+                Option(r.getAttributeValue(null, "r"))
+                  .flatMap(_.toIntOption).foreach { rref =>
+                    while (rowsEmitted < rref - 1) {
+                      rows += Vector.empty; rowsEmitted += 1
+                    }
+                  }
               case "c" =>
                 text.clear()
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
@@ -161,7 +227,7 @@ object Xlsx {
                 }
                 put(cellCol, v)
                 nextCol = cellCol + 1
-              case "row" => rows += row.toVector
+              case "row" => rows += row.toVector; rowsEmitted += 1
               case _ => ()
             }
           case _ => ()

@@ -58,10 +58,14 @@ object OutputShapes {
   ): DataFrame = {
     val named = tier.select(col(epochCol).as("_ts"), seriesFlat.as("_series"),
       col(valueCol).as("_v"))
+    // limit(maxSeries + 1) BOUNDS the driver fetch: pointed at a
+    // 10^8-series table the guard fires after collecting maxSeries + 1
+    // rows (TakeOrderedAndProject), never the full distinct set
     val series = named.select("_series").distinct()
-      .orderBy("_series").collect().map(_.getString(0))
+      .orderBy("_series").limit(maxSeries + 1).collect().map(_.getString(0))
     require(series.length <= maxSeries,
-      s"singleindex export over ${series.length} series (> $maxSeries); use stacked")
+      s"singleindex export over > $maxSeries series — this shape is a " +
+        "last-mile artifact; use stacked (or parquet) for bulk output")
     named.groupBy(col("_ts"))
       .pivot("_series", series.toSeq)
       .agg(first(col("_v")))
@@ -149,12 +153,15 @@ object OutputShapes {
         x => x.isNotNull && x =!= ""), "_")
     val named = tier.select(col(epochCol).as("_ts"), flat.as("_series"),
       key.as("_k"), col(valueCol).as("_v"))
+    // bounded fetch, same contract as singleIndex: the cap fires after
+    // maxSeries + 1 driver rows, not after collecting the whole key set
     val keys = named
       .select(col("_series") +:
         MultiIndexLevels.map(l => col("_k").getField(l).as(l)): _*)
-      .distinct().orderBy("_series").collect()
+      .distinct().orderBy("_series").limit(maxSeries + 1).collect()
     require(keys.length <= maxSeries,
-      s"multiindex export over ${keys.length} series (> $maxSeries); use stacked")
+      s"multiindex export over > $maxSeries series — this shape is a " +
+        "last-mile artifact; use stacked (or parquet) for bulk output")
     val flats = keys.map(_.getString(0)).toSeq
     // `web` labels columns but is excluded from flat names, so two keys
     // differing ONLY in web would collapse to one flat name — the pivot

@@ -354,6 +354,16 @@ object Web {
         .select(col("node"),
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
     }
+    // materialize the final rank (|V| rows — bounded by the node set, not
+    // the edges), then RELEASE the three loop invariants: without this
+    // every invocation left three pinned RDDs on the executors for the
+    // life of the session. The returned frame stays cached; callers that
+    // are done with it may unpersist.
+    rank = rank.persist()
+    rank.count()
+    e.unpersist(false)
+    nodes.unpersist(false)
+    outdeg.unpersist(false)
     rank
   }
 }

@@ -33,9 +33,21 @@ class OutputSpec extends AnyFunSuite {
   }
 
   test("singleindex refuses unbounded pivots") {
-    intercept[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] {
       OutputShapes.singleIndex(tier, col("series_flat"), "ts", "v", maxSeries = 1)
     }
+    assert(e.getMessage.contains("last-mile"))
+  }
+
+  test("multiindex refuses unbounded pivots with the last-mile message") {
+    val key = struct(
+      split(col("series_flat"), "_").getItem(0).as("domain"),
+      lit("load").as("metric"), lit("actual").as("attribute"),
+      lit("test").as("source"), lit("https://x").as("web"), lit("MW").as("unit"))
+    val e = intercept[IllegalArgumentException] {
+      OutputShapes.multiIndex(tier, key, "ts", "v", maxSeries = 1)
+    }
+    assert(e.getMessage.contains("last-mile"))
   }
 
   test("multiindex export renders the level-header block and round-trips values byte-stably") {

@@ -118,4 +118,25 @@ class WebSpec extends AnyFunSuite {
     assert(recs.map(_._1) == Seq("https://ok.example/"))
     assert(new String(recs.head._3, "UTF-8") == "<html>")
   }
+
+  test("warc parser: WARC/1.1 accepted; corrupt Content-Length / WARC-Date end or skip cleanly") {
+    // WARC/1.1 (ISO 28500 current revision, wget emits it) must parse
+    val v11 = ("WARC/1.1\r\nWARC-Type: response\r\nWARC-Target-URI: https://v11.example/\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 44\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Length: 6\r\n\r\n<html>\r\n\r\n").getBytes("UTF-8")
+    assert(Warc.parseAll(v11).map(_._1) == Seq("https://v11.example/"))
+    // non-numeric Content-Length: ends iteration cleanly (framing is lost)
+    val badLen = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: oops\r\n\r\njunk").getBytes("UTF-8")
+    assert(Warc.parseAll(badLen).isEmpty)
+    // malformed WARC-Date: that RECORD is skipped (framing intact), the
+    // following good record still parses
+    val badDate = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://bad.example/\r\n" +
+      "WARC-Date: not-a-date\r\nContent-Length: 44\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Length: 6\r\n\r\n<html>\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://good.example/\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 44\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Length: 6\r\n\r\n<html>\r\n\r\n").getBytes("UTF-8")
+    assert(Warc.parseAll(badDate).map(_._1) == Seq("https://good.example/"))
+  }
 }

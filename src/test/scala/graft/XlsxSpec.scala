@@ -122,6 +122,61 @@ class XlsxSpec extends AnyFunSuite {
       (1704078000L, 1004.5: java.lang.Double, 0.75)))
   }
 
+  test("omitted blank rows (row r= gaps) keep later rows aligned") {
+    val dir = freshDir()
+    // Excel omits <row> elements for blank rows entirely: row 2 is absent,
+    // data resumes at r="4" — the parser must insert the empty rows so
+    // header/data offsets (readSheet's drop(1), readEuTimeSeries'
+    // drop(headerRows)) stay aligned
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>""" +
+        """<row r="4"><c r="A4"><v>7.5</v></c></row>""" +
+        """</sheetData></worksheet>"""
+    val zout = new ZipOutputStream(Files.newOutputStream(Paths.get(s"$dir/gap.xlsx")))
+    try {
+      zout.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+      zout.write(sheet.getBytes("UTF-8")); zout.closeEntry()
+    } finally zout.close()
+    val rows = Xlsx.parse(Files.readAllBytes(Paths.get(s"$dir/gap.xlsx")))
+    assert(rows.length == 4)
+    assert(rows(0) == Vector("k"))
+    assert(rows(1).isEmpty && rows(2).isEmpty)
+    assert(rows(3) == Vector(java.lang.Double.valueOf(7.5)))
+  }
+
+  test("first sheet resolves by workbook order, not part-name lexical order") {
+    val dir = freshDir()
+    // workbook order says sheet10.xml is FIRST; lexically "sheet10.xml" >
+    // "sheet2.xml" is false ("sheet10" < "sheet2"), so make the workbook
+    // point at sheet2.xml while sheet10.xml sorts first — a lexical-min
+    // reader picks the wrong sheet
+    def oneCell(s: String) =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        s"""<row r="1"><c r="A1" t="inlineStr"><is><t>$s</t></is></c></row>""" +
+        """</sheetData></worksheet>"""
+    val workbook =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="first" sheetId="1" r:id="rId9"/><sheet name="second" sheetId="2" r:id="rId3"/></sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet10.xml"/>""" +
+        """<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>""" +
+        """</Relationships>"""
+    val parts = Seq(
+      "xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet10.xml" -> oneCell("WRONG"),
+      "xl/worksheets/sheet2.xml" -> oneCell("RIGHT"))
+    val zout = new ZipOutputStream(Files.newOutputStream(Paths.get(s"$dir/order.xlsx")))
+    try parts.foreach { case (n, c) =>
+      zout.putNextEntry(new ZipEntry(n)); zout.write(c.getBytes("UTF-8")); zout.closeEntry()
+    } finally zout.close()
+    val rows = Xlsx.parse(Files.readAllBytes(Paths.get(s"$dir/order.xlsx")))
+    assert(rows == Vector(Vector("RIGHT")))
+  }
+
   test("sink enforces the Excel sheet row cap") {
     val dir = freshDir()
     val df = (1 to 10).map(i => (i, i * 1.0)).toDF("a", "b")
