@@ -77,6 +77,104 @@ object ChunkWriter {
       }
   }
 
+  /** [[PrimPoint]] with a routing key (a day) in front. */
+  case class KeyedPoint(pkey: String, series_flat: String, ts: Long, value: Double)
+
+  /** [[FlatChunk]] with its routing key — feeds a dynamic-partition write. */
+  case class KeyedChunk(
+      pkey: String,
+      series_flat: String,
+      tier: String,
+      t0: Long,
+      t_max: Long,
+      n: Int,
+      blob: Array[Byte],
+      crc: Int
+  )
+
+  /** Multi-partition chunk build: [[build]] with an extra routing column
+    * `pkey` (the day), so the chunks of MANY store partitions build in ONE
+    * repartition+sort+mapPartitions job instead of one driver-launched job
+    * per day. Chunk runs restart at every (pkey, series) boundary, so each
+    * pkey's chunks are bitwise identical to a per-pkey [[build]] — the
+    * invariant the batched delta refresh relies on.
+    */
+  def buildKeyed(
+      points: DataFrame, // (pkey string, series_flat string, ts long, value double?)
+      tier: String,
+      maxPoints: Int = 1024
+  ): Dataset[KeyedChunk] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points
+      .select(col("pkey"), col("series_flat"), col("ts").cast("long"),
+        coalesce(col("value").cast("double"), lit(Double.NaN)).as("value"))
+      .as[KeyedPoint]
+    pts.repartition(col("pkey"), col("series_flat"))
+      .sortWithinPartitions(col("pkey"), col("series_flat"), col("ts"))
+      .mapPartitions { it =>
+        new Iterator[KeyedChunk] {
+          private var cur: KeyedPoint = if (it.hasNext) it.next() else null
+          override def hasNext: Boolean = cur != null
+          override def next(): KeyedChunk = {
+            val ts = new ArrayBuffer[Long](64)
+            val vs = new ArrayBuffer[Double](64)
+            val pk = cur.pkey
+            val key = cur.series_flat
+            while (cur != null && cur.pkey == pk && cur.series_flat == key &&
+                ts.length < maxPoints) {
+              ts += cur.ts
+              vs += cur.value
+              cur = if (it.hasNext) it.next() else null
+            }
+            val blob = Gorilla.encode(ts.toArray, vs.toArray)
+            KeyedChunk(pk, key, tier, ts.head, ts.last, ts.length, blob,
+              Gorilla.crc32(blob))
+          }
+        }
+      }
+  }
+
+  /** Keyed form of [[buildIndex]]: one distributed pass indexes the chunk
+    * partitions of many pkeys at once; per pkey the directory bytes are
+    * bitwise identical to a per-pkey [[buildIndex]] (the group key just
+    * gains the pkey prefix).
+    */
+  def buildIndexKeyed(
+      chunks: DataFrame, // KeyedChunk columns (blob unused beyond stats)
+      buckets: Int
+  ): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .withColumn("part_id", pmod(xxhash64(col("series_flat")), lit(buckets)).cast("int"))
+      .select($"pkey", $"part_id", $"tier", $"series_flat", $"t0", $"t_max", $"n")
+      .as[(String, Int, String, String, Long, Long, Int)]
+      .groupByKey { case (pk, p, t, _, _, _, _) => (pk, p, t) }
+      .mapGroups { (key: (String, Int, String),
+          rows: Iterator[(String, Int, String, String, Long, Long, Int)]) =>
+        val (pkey, partId, tier) = key
+        val entries = rows.toArray.sortBy { case (_, _, _, s, t0, _, _) => (s, t0) }
+        val dir = new ArrayBuffer[Byte](entries.length * 8)
+        var prevHash = 0L
+        var prevT0 = 0L
+        val seriesSeen = scala.collection.mutable.HashSet.empty[String]
+        entries.foreach { case (_, _, _, s, t0, tMax, n) =>
+          seriesSeen += s
+          val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong
+          writeVarLong(dir, h - prevHash); prevHash = h
+          writeVarLong(dir, t0 - prevT0); prevT0 = t0
+          writeVarLong(dir, tMax - t0)
+          writeVarLong(dir, n.toLong)
+        }
+        (pkey, PartitionIndex(
+          partId, tier, seriesSeen.size, entries.length.toLong,
+          entries.iterator.map(_._5).min, entries.iterator.map(_._6).max,
+          dir.toArray))
+      }
+      .select(col("_1").as("pkey"), col("_2.*"))
+  }
+
   /** Decode chunks back to points — the verification read path. Checks CRC;
     * a corrupt blob fails loudly rather than yielding silent wrong data.
     */

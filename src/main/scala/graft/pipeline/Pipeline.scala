@@ -165,12 +165,15 @@ object Pipeline {
     * LATE batch of pages into the stored tier chain without rebuilding
     * unaffected days. Because tiers store ALGEBRAIC partials (sum, n), a
     * delta is pure addition — merged(n, sum) = stored + delta per
-    * (series, bucket) — so the 15-min day partition merges in one
-    * distributed aggregation over (old partition ∪ delta partials), each
-    * higher tier re-chains from its freshly merged child (work bounded
-    * by the touched DAY, never the corpus), and the day's Gorilla
-    * chunks + index rebuild from the merged tier (compressed sorted
-    * blobs don't merge incrementally; per-day scope keeps that cheap).
+    * (series, bucket) — so ALL touched days of the 15-min tier merge in
+    * ONE distributed aggregation over (stored partitions ∪ delta
+    * partials), each higher tier re-chains from its freshly merged child
+    * in one aggregation per TIER (work bounded by the touched days,
+    * never the corpus — and the job count bounded by the TIER count,
+    * never the day count: a year-long backfill is ~6 stage commits, not
+    * ~1,800 driver-serialized jobs), and the touched days' Gorilla
+    * chunks + index rebuild in one keyed job each (compressed sorted
+    * blobs don't merge incrementally; day-bounded scope keeps it cheap).
     * A delta may introduce entirely new days — those build fresh.
     *
     * This is the batch/store-level form of the revision patching the
@@ -190,74 +193,120 @@ object Pipeline {
       .withColumn("_day", to_date(col("warc_ts")).cast("string")).persist()
     try {
       val days = withDay.select("_day").distinct().as[String].collect().sorted.toSeq
-      def partOf(key: String) = table.currentPartitions().find(_.key == key)
-      for (day <- days) {
-        // 15-min: stored partials + delta partials, summed — exact algebra
-        val d15 = tier15FromPages(withDay.filter(col("_day") === day).drop("_day"))
-        val merged15 = partOf(tierKey("15min", day)) match {
-          case Some(pm) =>
-            spark.read.parquet(pm.path).unionByName(d15)
-              .groupBy(col("domain"), col("metric"), col("bucket_ts"))
-              .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
-              .withColumn("mean_v", col("sum_v") / col("n"))
-              .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
-          case None => d15
-        }
-        commitRefreshed(table, merged15, tierKey("15min", day),
-          s"delta-merge:15min day=$day")
-        for (((tier, period), idx) <- Tiers.zipWithIndex if tier != "15min") {
-          val child = Tiers(idx - 1)._1
-          val childDf = spark.read.parquet(partOf(tierKey(child, day)).get.path)
-          commitRefreshed(table,
-            TimeSeriesOps.chainTier(childDf, seriesCols, period),
-            tierKey(tier, day), s"delta-chain:$tier day=$day")
-        }
-        val t15 = spark.read.parquet(partOf(tierKey("15min", day)).get.path)
-        val flat = t15.select(
-          concat_ws("_", col("domain"), col("metric")).as("series_flat"),
-          col("bucket_ts").as("ts"), col("mean_v").as("value"))
-        commitRefreshed(table, ChunkWriter.build(flat, "15min", chunkMaxPoints).toDF(),
-          chunkKey("15min", day), s"delta-chunks day=$day")
-        val chunks = spark.read.parquet(partOf(chunkKey("15min", day)).get.path)
-          .as[ChunkWriter.FlatChunk]
-        commitRefreshed(table, ChunkWriter.buildIndex(chunks, indexBuckets).toDF(),
-          indexKey("15min", day), s"delta-index day=$day")
+      if (days.isEmpty) return days
+      val current = table.currentPartitions().map(p => p.key -> p).toMap
+      def touchedPaths(keyOf: String => String): Seq[String] =
+        days.flatMap(d => current.get(keyOf(d)).map(_.path))
+      // bucket_ts -> day, for routing merged rows into day partitions
+      // (windows never span days, so this is exact)
+      val dayOfBucket =
+        to_date(timestamp_seconds(col("bucket_ts"))).cast("string").as("_day")
+
+      // ---- 15-min: stored partials of ALL touched days ∪ delta partials,
+      // summed in ONE distributed aggregation — exact algebra, regardless
+      // of how many days the delta spans. (The previous shape looped the
+      // days from the driver: ~5 serialized jobs per day; a year-long
+      // backfill was ~1,800 driver-launched jobs.)
+      val tierCols = Seq("domain", "metric", "bucket_ts", "n", "sum_v")
+      val d15 = tier15FromPages(withDay.drop("_day")).select(tierCols.map(col): _*)
+      val stored15 = touchedPaths(d => tierKey("15min", d))
+      val base15 =
+        if (stored15.isEmpty) d15
+        else spark.read.parquet(stored15: _*).select(tierCols.map(col): _*)
+          .unionByName(d15)
+      val merged15 = base15
+        .groupBy(col("domain"), col("metric"), col("bucket_ts"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+        .withColumn("mean_v", col("sum_v") / col("n"))
+        .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+      commitRefreshedDays(spark, table, merged15.withColumn("_day", dayOfBucket),
+        days, d => tierKey("15min", d), "delta-15min", "delta-merge:15min")
+
+      // ---- higher tiers: each chains from its freshly merged child —
+      // one aggregation + one dynamic-partition commit PER TIER, never
+      // per (tier, day)
+      for (((tier, period), idx) <- Tiers.zipWithIndex if tier != "15min") {
+        val child = Tiers(idx - 1)._1
+        val childDf = spark.read.parquet(
+          days.map(d => table.currentPartitions()
+            .find(_.key == tierKey(child, d)).get.path): _*)
+        commitRefreshedDays(spark, table,
+          TimeSeriesOps.chainTier(childDf, seriesCols, period)
+            .withColumn("_day", dayOfBucket),
+          days, d => tierKey(tier, d), s"delta-$tier", s"delta-chain:$tier")
       }
+
+      // ---- Gorilla chunks + delta index for every touched day, each ONE
+      // keyed job (runs restart at day boundaries — bitwise the per-day
+      // build)
+      val t15 = spark.read.parquet(
+        days.map(d => table.currentPartitions()
+          .find(_.key == tierKey("15min", d)).get.path): _*)
+      val flat = t15.select(
+        to_date(timestamp_seconds(col("bucket_ts"))).cast("string").as("pkey"),
+        concat_ws("_", col("domain"), col("metric")).as("series_flat"),
+        col("bucket_ts").as("ts"), col("mean_v").as("value"))
+      commitRefreshedDays(spark, table,
+        ChunkWriter.buildKeyed(flat, "15min", chunkMaxPoints).toDF()
+          .withColumnRenamed("pkey", "_day"),
+        days, d => chunkKey("15min", d), "delta-chunks", "delta-chunks:15min")
+      val chunks = spark.read.parquet(
+          days.map(d => table.currentPartitions()
+            .find(_.key == chunkKey("15min", d)).get.path): _*)
+        .withColumn("pkey",
+          to_date(timestamp_seconds(col("t0"))).cast("string"))
+      commitRefreshedDays(spark, table,
+        ChunkWriter.buildIndexKeyed(chunks, indexBuckets)
+          .withColumnRenamed("pkey", "_day"),
+        days, d => indexKey("15min", d), "delta-index", "delta-index:chunks-15min")
       days
     } finally withDay.unpersist()
   }
 
-  /** Copy-on-write refresh of one partition: write to a FRESH sibling
-    * dir — NEVER the live dir, which the merged plan is lazily reading
-    * (the delete-first overwrite would race its own input) — then swap
-    * in one snapshot. Old dirs stay for time travel until
-    * `expireSnapshots`.
+  /** Copy-on-write refresh of MANY day partitions in one shot: write the
+    * frame (routing column `_day`) to a FRESH stage dir — never the live
+    * dirs, which the merged plan is lazily reading — as ONE
+    * dynamic-partition job, then swap all touched days in ONE snapshot.
+    * Old dirs stay for time travel until `expireSnapshots`. This is the
+    * store-level twin of the streaming MergeSink's one-job MERGE.
     */
-  private def commitRefreshed(
+  private def commitRefreshedDays(
+      spark: SparkSession,
       table: ManifestTableLayer,
-      df: DataFrame,
-      key: String,
+      df: DataFrame, // carries "_day"
+      days: Seq[String],
+      keyFor: String => String,
+      stageTag: String,
       lineage: String
   ): Unit = {
-    val path = Iterator.from(0)
-      .map(i => table.dataDir(if (i == 0) key else s"$key-r$i"))
+    val stageDir = Iterator.from(0)
+      .map(i => table.dataDir(s"$stageTag-r$i"))
       .find(p => !java.nio.file.Files.exists(p)).get
-    df.persist()
+    val pinned = df.persist()
     try {
-      val rows = df.count()
-      df.write.mode("overwrite").parquet(path.toString)
-      val bytes = {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(path)
-        try s.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(java.nio.file.Files.size).sum
-        finally s.close()
+      pinned.write.partitionBy("_day").mode("overwrite").parquet(stageDir.toString)
+      val counts = pinned.groupBy(col("_day")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every touched day must re-appear: a day the merge emptied would
+      // leave its STALE pre-delta partition live after the swap
+      val missing = days.filterNot(counts.contains)
+      require(missing.isEmpty,
+        s"$stageTag produced zero rows for day(s) ${missing.mkString(",")}")
+      val metas = days.map { d =>
+        val dir = stageDir.resolve(s"_day=$d")
+        val bytes = {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(dir)
+          try s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+          finally s.close()
+        }
+        graft.table.PartitionMeta(keyFor(d), dir.toString, counts(d), bytes,
+          s"$lineage day=$d")
       }
-      table.commit(
-        Seq(graft.table.PartitionMeta(key, path.toString, rows, bytes, lineage)),
-        Seq(key))
-    } finally df.unpersist()
+      table.commit(metas, metas.map(_.key))
+    } finally pinned.unpersist()
   }
 
   /** Read one full tier back from the table (all live day partitions). */

@@ -77,12 +77,10 @@ object MergeSink {
       // inference
       val dataSchema = org.apache.spark.sql.types.StructType(
         inc.schema.filterNot(_.name == BucketCol))
-      val existing = buckets.toSeq.flatMap { b =>
-        current.get(keyPrefix + b).map(pm =>
-          spark.read.schema(dataSchema).parquet(pm.path)
-            .withColumn(BucketCol, lit(b)))
-      }.reduceOption(_ unionByName _).getOrElse(
-        spark.createDataFrame(
+      val existingPaths = buckets.toSeq
+        .flatMap(b => current.get(keyPrefix + b).map(_.path))
+      val existing = existingFor(spark, dataSchema, existingPaths)
+        .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], inc.schema))
       val merged = merge(existing, inc).persist()
       try {
@@ -117,6 +115,17 @@ object MergeSink {
               counts.getOrElse(b, 0L), bytes, s"$lineageTag batch=$batchId"))
           }
         }
+        // merge-contract check: every TOUCHED bucket must re-appear in the
+        // merged output (all current mergers only grow or keep per-key
+        // rows). A merge that emptied a bucket would write no mbk= dir,
+        // the commit would skip the swap, and the STALE old partition
+        // would silently stay live — fail loudly instead.
+        val written = added.map(_.key.stripPrefix(keyPrefix)).toSet
+        val vanished = buckets.filterNot(written.contains)
+        require(vanished.isEmpty,
+          s"merge produced zero rows for touched bucket(s) ${vanished.mkString(",")} " +
+            "— a bucket-emptying merge needs an explicit empty-partition commit, " +
+            "which no current sink's merge can produce")
         // one snapshot per batch; only keys actually re-written are swapped
         layer.commit(added, added.map(_.key))
         if (expireEvery > 0 && (batchId + 1) % expireEvery == 0)
@@ -124,6 +133,27 @@ object MergeSink {
       } finally merged.unpersist()
     } finally inc.unpersist()
   }
+
+  /** ONE multi-path read of all touched buckets' current partitions, the
+    * bucket value recovered from the `mbk=<value>` directory segment each
+    * stored file lives under. The previous shape — a per-bucket
+    * `spark.read` chained through `unionByName.reduce` — grew the logical
+    * plan LINEARLY in touched buckets: at hundreds of buckets per batch
+    * the analyzer walk dominates and the plan tree eventually threatens
+    * the stack. Bucket values must be partition-path-safe (days / rendered
+    * numbers — every caller's, by construction), or the dir name would be
+    * Hive-escaped and no longer match the incoming values.
+    */
+  private[graft] def existingFor(
+      spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]
+  ): Option[DataFrame] =
+    if (paths.isEmpty) None
+    else Some(
+      spark.read.schema(dataSchema).parquet(paths: _*)
+        .withColumn(BucketCol,
+          regexp_extract(input_file_name(), s"/$BucketCol=([^/]+)/", 1)))
 
   /** Keep, per `keys` group, the single best row by `order` — the
     * window-dedupe merge every upsert-style sink uses (latest event,

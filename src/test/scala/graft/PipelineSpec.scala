@@ -140,11 +140,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(decoded(tInc).except(decoded(tFull)).isEmpty &&
       decoded(tFull).except(decoded(tInc)).isEmpty)
     // copy-on-write: a refreshed day's tier partition lives in a FRESH
-    // sibling dir (-r1), the pre-delta dir survives for time travel
+    // stage dir, the pre-delta dir survives for time travel
     val day0 = refreshed.head
     val pm = tInc.currentPartitions()
       .find(_.key == Pipeline.tierKey("15min", day0)).get
-    assert(pm.path.endsWith("-r1"), s"refresh must not overwrite in place: ${pm.path}")
+    assert(pm.path != tInc.dataDir(Pipeline.tierKey("15min", day0)).toString,
+      s"refresh must not overwrite in place: ${pm.path}")
     assert(Files.exists(java.nio.file.Paths.get(
       tInc.dataDir(Pipeline.tierKey("15min", day0)).toString)))
     // a delta that introduces an entirely NEW day builds fresh partitions
@@ -154,6 +155,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(newDays.forall(d => tInc.currentPartitions()
       .exists(_.key == Pipeline.tierKey("1d", d))))
     assert(newDays.intersect(refreshed).isEmpty)
+  }
+
+  test("applyDelta job count is O(tiers), independent of how many days the delta spans") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pipe-djobs-").toString
+    // 14 days of pages: the 7-day fixture plus a +7d shifted copy
+    val week = Pages.synthesize(spark, SparkTestSession.sf0001)
+      .select("url", "warc_ts", "html", "text", "lang")
+    val all = week.unionByName(
+      week.withColumn("warc_ts", expr("warc_ts + INTERVAL 7 DAYS"))
+        .withColumn("url", concat(col("url"), lit("?w=2"))))
+    val late = regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long") % 5 === 4
+    Pages.writePartitioned(all.filter(!late), s"$base/pages", buckets = 8)
+    val t = new ManifestTableLayer(s"$base/table")
+    Pipeline.runRollup(spark, s"$base/pages", t,
+      Pipeline.listDays(spark, s"$base/pages"), chunkMaxPoints = 128)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def settled(): Int = {
+      var prev = -1; var cur = jobs.get()
+      while (cur != prev) { Thread.sleep(250); prev = cur; cur = jobs.get() }
+      cur
+    }
+    val delta = all.filter(late).persist()
+    val twoDays = delta.filter(to_date(col("warc_ts")) < lit("2024-01-03"))
+    val restDays = delta.filter(to_date(col("warc_ts")) >= lit("2024-01-03"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Pipeline.applyDelta(spark, twoDays, t, chunkMaxPoints = 128)
+      val j2 = settled()
+      jobs.set(0)
+      val refreshed = Pipeline.applyDelta(spark, restDays, t, chunkMaxPoints = 128)
+      val j14 = settled()
+      assert(refreshed.size == 12)
+      // 7x the touched days must NOT mean more driver-launched jobs: each
+      // stage is one dynamic-partition job regardless of day span (AQE
+      // stage materialization adds a constant few per query)
+      assert(j14 <= j2 + 4,
+        s"14-day delta ran $j14 jobs vs $j2 for 2 days — per-day driver loop is back")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      delta.unpersist()
+    }
+    // and the result is still right: hourly tier equals a direct rebuild
+    val direct = graft.rollup.TimeSeriesOps.tier(
+      Pipeline.pointsFromPages(all), Seq("domain", "metric"),
+      "epoch_s", "value", 3600)
+    val stored = Pipeline.readTier(spark, t, "1h")
+    val cols = Seq("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v").map(col)
+    assert(stored.select(cols: _*).except(direct.select(cols: _*)).isEmpty)
+    assert(stored.count() == direct.count())
   }
 
   test("sweep drops raw + chunks + index below cutoff; aggregates intact") {

@@ -321,6 +321,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(layer.read(spark).filter(col("epoch_us") === 2).count() == 64)
   }
 
+  test("MERGE sink reads hundreds of touched buckets as ONE multi-path scan, not a union chain") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-manybk-").toString
+    val layer = new graft.table.ManifestTableLayer(s"$base/table")
+    // 400 users over 200 buckets — every bucket touched, twice
+    def batchDf(epoch: Long) = (0 until 400).map(u =>
+        (u.toLong, u.toLong * 10 + epoch, epoch, "t", 100L))
+      .toDF("user_id", "event_id", "epoch_us", "event_type", "cents")
+    StreamingRollup.mergeLatestBatch(spark, layer, batchDf(1L), 0L, nBuckets = 200)
+    StreamingRollup.mergeLatestBatch(spark, layer, batchDf(2L), 1L, nBuckets = 200)
+    assert(layer.read(spark).filter(col("epoch_us") === 2).count() == 400)
+    // the existing-side read is one relation: NO Union anywhere in its
+    // analyzed plan (the union-chain shape grew linearly in buckets and
+    // was analyzer-bound at a few hundred), and the bucket value recovers
+    // from the directory name
+    val parts = layer.currentPartitions().filter(_.key.startsWith("latest/"))
+    assert(parts.size > 150, s"want >150 touched buckets, got ${parts.size}")
+    val ex = graft.streaming.MergeSink.existingFor(spark,
+      org.apache.spark.sql.types.StructType(
+        batchDf(0L).schema.fields), parts.map(_.path)).get
+    assert(ex.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "existing-buckets read must be a single multi-path scan")
+    assert(ex.count() == 400)
+    assert(ex.select(graft.streaming.MergeSink.BucketCol).distinct().count() ==
+      parts.size)
+  }
+
   test("streaming retention bounds staging dirs across batches and survives resume") {
     val base = Files.createTempDirectory(
       Paths.get("/root/repo/target"), "stream-expire-").toString
