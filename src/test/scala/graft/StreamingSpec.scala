@@ -117,6 +117,38 @@ class StreamingSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 10 === 0).count())
   }
 
+  test("stateful streams run on the RocksDB state store (state on disk, not heap)") {
+    // the engine default (SparkTestSession/Verify/Bench all set it): at
+    // crawl scale the flatMapGroupsWithState state is one row per url /
+    // per distinct doc — the HDFS-backed store keeps all of it ON HEAP,
+    // RocksDB spills to local disk. Every kill/resume test in this suite
+    // already runs on it; this one pins the evidence.
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-rocks-").toString
+    val srcDir = s"$base/src"
+    spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val r = graft.streaming.StreamingDedup.dedupExactMerged(spark, srcDir,
+      "*.parquet", s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    assert(r.count() > 0)
+    // the checkpoint's state dir carries RocksDB artifacts (zip snapshots
+    // / changelogs), and NONE of the HDFS provider's .delta files
+    import scala.jdk.CollectionConverters._
+    val stateFiles = {
+      val s = Files.walk(Paths.get(s"$base/ckpt/state"))
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"no RocksDB state artifacts under ckpt/state: ${stateFiles.take(10)}")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      "found HDFS-backed .delta state files — RocksDB provider not in effect")
+  }
+
   test("streaming warc ingestion resumes across restarts == batch Warc.read (kill/resume)") {
     import spark.implicits._
     val base = Files.createTempDirectory(
