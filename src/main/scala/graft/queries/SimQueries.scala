@@ -101,6 +101,22 @@ object SimQueries {
         bookSink = Some(Scratch.dir("ivfpq_books")))
         .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
 
+    // T47b residual IVF+PQ: books trained on (v - centroid(cell)), the
+    // standard recall-per-byte lever (AnnSpec: ADC shortlist recall@10
+    // 0.44 -> 0.55 at equal m/nCodes). ADC decomposes exactly:
+    // dot(q,v) ~ dot(q, cent(cell)) + sum_sub dot(q_sub, book_cv) — all
+    // exact integers, so the oracle replays the whole funnel from the
+    // two dumps
+    "q_ann_ivfpq_res" -> ((s, dir) =>
+      Ann.ivfPqTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10, dim = 64,
+        nCentroids = 20, nProbe = 4, m = 4, nCodes = 16, rerank = 30,
+        residual = true,
+        centroidSink = Some(Scratch.dir("ivfpqr_cents")),
+        bookSink = Some(Scratch.dir("ivfpqr_books")))
+        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))),
+
     // T46 product quantization, encode: 64 float dims -> 4 codes (16
     // codes per subspace, Lloyd-trained). Encode is a pure projection
     // over foldable book literals; oracle mirrors argmin from the dump
@@ -250,7 +266,89 @@ object SimQueries {
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
        |    FROM pdist) t WHERE rn = 1)""".stripMargin
 
+  /** Residual-PQ oracle CTEs: quantized residual subvectors (raw element
+    * minus the assigned cell's RAW centroid component, then the same
+    * fixed-point round), book quantization, per-(vec, sub, code)
+    * distances, argmin encode. Needs `assigned` (from [[ivfCtes]]) in
+    * scope. `craw` (raw centroid components) is also used by the ADC's
+    * per-cell dot term.
+    */
+  private def pqResCtes(bookDump: String, centDump: String): String =
+    s"""bk AS (SELECT sub, code, cv FROM read_parquet('$bookDump/*.parquet')),
+       |bq AS (SELECT sub, code,
+       |    list_transform(cv, x -> CAST(round(x * 1048576.0) AS BIGINT)) AS qc
+       |  FROM bk),
+       |eraw AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e,
+       |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |craw AS (SELECT _cell AS cell, UNNEST(_cv) AS c,
+       |    generate_subscripts(_cv, 1) AS i
+       |  FROM read_parquet('$centDump/*.parquet')),
+       |resq AS (SELECT er.vec_id, er.i,
+       |    CAST(round((er.e - cr.c) * 1048576.0) AS BIGINT) AS qr
+       |  FROM eraw er JOIN assigned a ON a.vec_id = er.vec_id
+       |  JOIN craw cr ON cr.cell = a.cell AND cr.i = er.i),
+       |rsv AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub,
+       |    list(qr ORDER BY i) AS qv
+       |  FROM resq GROUP BY 1, 2),
+       |pdist AS (SELECT vec_id, rsv.sub, bq.code,
+       |    CAST(list_aggregate(list_transform(generate_series(1, 16),
+       |      i -> (qv[i] - qc[i]) * (qv[i] - qc[i])), 'sum') AS BIGINT) AS d
+       |  FROM rsv JOIN bq ON bq.sub = rsv.sub),
+       |enc AS (SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+       |    FROM pdist) t WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // residual funnel replayed from both dumps: assignment + probe
+    // (ivfCtes), residual encode (pqResCtes), then
+    // ADC = sum_sub pd + per-cell centroid dot -> shortlist -> exact
+    // cosine re-rank
+    "q_ann_ivfpq_res" ->
+      s"""${ivfCtes(Scratch.dir("ivfpqr_cents"))},
+         |${pqResCtes(Scratch.dir("ivfpqr_books"), Scratch.dir("ivfpqr_cents"))},
+         |probe AS (SELECT cell FROM (
+         |    SELECT vcc.cell, row_number() OVER (ORDER BY cos DESC, cell) AS prk
+         |    FROM vcc WHERE vec_id = 0) p WHERE prk <= 4),
+         |cand AS (SELECT vec_id, cell FROM assigned
+         |  WHERE cell IN (SELECT cell FROM probe) AND vec_id <> 0),
+         |qsub AS (SELECT s.sub,
+         |    list_transform(embedding[s.sub*16+1 : s.sub*16+16],
+         |      x -> CAST(round(x * 1048576.0) AS BIGINT)) AS q
+         |  FROM embeddings CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS sub) s
+         |  WHERE vec_id = 0),
+         |dt AS (SELECT bq.sub, bq.code,
+         |    CAST(list_aggregate(list_transform(generate_series(1, 16),
+         |      i -> q[i] * qc[i]), 'sum') AS BIGINT) AS pd
+         |  FROM bq JOIN qsub ON qsub.sub = bq.sub),
+         |cdot AS (SELECT cr.cell,
+         |    CAST(sum(qq.qe * CAST(round(cr.c * 1048576.0) AS BIGINT)) AS BIGINT) AS cd
+         |  FROM craw cr JOIN (SELECT i, qe FROM ex WHERE vec_id = 0) qq ON qq.i = cr.i
+         |  GROUP BY 1),
+         |qnq AS (SELECT CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex WHERE vec_id = 0),
+         |adc AS (SELECT e.vec_id,
+         |    CAST(SUM(pd) + cdot.cd AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE))
+         |      / sqrt(CAST(qnq.n2 AS DOUBLE)) AS acos
+         |  FROM enc e JOIN cand ON cand.vec_id = e.vec_id
+         |  JOIN dt ON dt.sub = e.sub AND dt.code = e.code
+         |  JOIN cdot ON cdot.cell = cand.cell
+         |  JOIN n2 nv ON nv.vec_id = e.vec_id CROSS JOIN qnq
+         |  GROUP BY e.vec_id, cdot.cd, nv.n2, qnq.n2),
+         |short AS (SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY acos DESC, vec_id) AS rr
+         |    FROM adc) a WHERE rr <= 30),
+         |qd AS (SELECT v.vec_id, CAST(sum(v.qe * q.qe) AS BIGINT) AS dot
+         |  FROM ex v JOIN (SELECT i, qe FROM ex WHERE vec_id = 0) q ON q.i = v.i
+         |  WHERE v.vec_id IN (SELECT vec_id FROM short) GROUP BY 1),
+         |qn AS (SELECT CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex WHERE vec_id = 0),
+         |sc AS (SELECT qd.vec_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE))
+         |      / sqrt(CAST(qn.n2 AS DOUBLE)) AS cos
+         |  FROM qd JOIN n2 nv ON nv.vec_id = qd.vec_id CROSS JOIN qn),
+         |rr AS (SELECT vec_id, cos,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rk FROM sc)
+         |SELECT vec_id, cos, CAST(rk AS BIGINT) AS rk
+         |FROM rr WHERE rk <= 10""".stripMargin,
     // candidate selection from the ENGINE-written bucket table (multi-probe:
     // the query's bucket plus each single-bit flip), exact quantized
     // scoring + rank mirrored from q_ann_brute

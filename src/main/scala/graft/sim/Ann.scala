@@ -661,6 +661,25 @@ object Ann {
       posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
   }
 
+  /** Per-row residual vs the assigned cell's centroid, as a pure
+    * projection: the bounded centroid table folds into a literal
+    * cell -> vector map, each row subtracts its own cell's centroid
+    * (double IEEE subtraction — exactly mirrorable by the oracle).
+    * Input must carry `cell` (from [[ivfAssign]]); output adds `_resid`.
+    */
+  private def withResidual(
+      assigned: DataFrame, // (id, vec, cell)
+      vecCol: String,
+      centRows: Array[org.apache.spark.sql.Row]
+  ): DataFrame = {
+    val centMap = map_from_arrays(
+      typedLit(centRows.map(_.getLong(0)).toSeq),
+      typedLit(centRows.map(_.getSeq[Double](1)).toSeq))
+    assigned.withColumn("_resid",
+      zip_with(col(vecCol), element_at(centMap, col("cell")),
+        (x, c) => x.cast("double") - c))
+  }
+
   /** IVF+PQ (T47) — the production ANN architecture (the FAISS IVF-PQ
     * shape): IVF probing narrows the corpus to nProbe cells, ADC over the
     * PQ codes ranks the candidates WITHOUT touching raw vectors, and only
@@ -670,9 +689,15 @@ object Ann {
     * rows — the three-stage funnel every at-scale vector store runs.
     * Output: exact (vec_id, cos, rk) for the surviving top-k.
     *
-    * PQ here encodes RAW vectors, not cell residuals (stated
-    * simplification — residual encoding needs per-cell books and buys
-    * precision, not a different plan shape).
+    * `residual = true` trains the books on CELL RESIDUALS
+    * (v − centroid(cell)) instead of raw vectors — the standard
+    * recall-per-byte lever: residuals are smaller and more isotropic, so
+    * the same m×nCodes budget quantizes them with less error. The ADC
+    * dot then decomposes exactly as
+    * dot(q, v) ≈ dot(q, centroid(cell_v)) + Σ_sub dot(q_sub, book_cv) —
+    * the per-cell term is a bounded broadcast, everything stays exact
+    * integers. Same plan shape, strictly better shortlist (AnnSpec
+    * measures the recall lift).
     */
   def ivfPqTopK(
       vectors: DataFrame,
@@ -687,6 +712,7 @@ object Ann {
       nCodes: Int = 16,
       rerank: Int = 30,
       lloydIters: Int = 3,
+      residual: Boolean = false,
       centroidSink: Option[String] = None,
       bookSink: Option[String] = None
   ): DataFrame = {
@@ -696,12 +722,18 @@ object Ann {
       java.util.Arrays.asList(centRows: _*), trainedCentSchema)
     centroidSink.foreach(p =>
       cents.coalesce(1).write.mode("overwrite").parquet(p))
-    val books = pqTrain(vectors, idCol, vecCol, dim, m, nCodes, lloydIters)
-    bookSink.foreach(p =>
-      books.coalesce(1).write.mode("overwrite").parquet(p))
     val assigned = ivfAssignRows(vectors, idCol, vecCol, centRows,
       org.apache.spark.sql.types.DoubleType)
-    val enc = pqEncode(vectors, idCol, vecCol, books, dim, m)
+    // residual mode: books train on (v - centroid(cell)) and the encoder
+    // sees the residual column; raw mode keeps the original vectors
+    val encInput =
+      if (residual) withResidual(assigned, vecCol, centRows)
+      else vectors
+    val encVecCol = if (residual) "_resid" else vecCol
+    val books = pqTrain(encInput, idCol, encVecCol, dim, m, nCodes, lloydIters)
+    bookSink.foreach(p =>
+      books.coalesce(1).write.mode("overwrite").parquet(p))
+    val enc = pqEncode(encInput, idCol, encVecCol, books, dim, m)
     val q = vectors.filter(col(idCol) === queryId).select(col(vecCol).as("_qv"))
     val probeCells = q.join(broadcast(cents))
       .select(col("_cell"),
@@ -712,7 +744,7 @@ object Ann {
       .select(col("_cell").as("cell"))
     val cand = assigned.filter(col(idCol) =!= queryId)
       .join(broadcast(probeCells), "cell")
-      .select(col(idCol))
+      .select(col(idCol), col("cell"))
     // metric-consistent ADC: the final metric is cosine, so the code
     // table approximates the DOT (exact integer partials, can be
     // negative) and the exact per-id norms — a stored scalar next to the
@@ -729,11 +761,23 @@ object Ann {
             transform(col("cv"), x => qint(x)),
             (a, b) => a * b),
           lit(0L), _ + _).as("_pd"))
+    // residual decomposition: dot(q, cent(cell)) per candidate cell — a
+    // bounded (nCentroids-row) broadcast of exact integer dots
+    val centDot = cents.crossJoin(broadcast(q))
+      .select(col("_cell").as("cell"),
+        dotQ(col("_qv"), col("_cv")).as("_cd"))
     val norms = vectors.select(col(idCol), norm2Q(col(vecCol)).as("_n2"))
     val qn2 = q.select(norm2Q(col("_qv")).as("_qn2"))
-    val shortlist = enc.join(cand, idCol)
-      .join(broadcast(dtab), Seq("sub", "code"))
-      .groupBy(col(idCol)).agg(sum(col("_pd")).as("_dot"))
+    val adcDot = {
+      val summed = enc.join(cand, idCol)
+        .join(broadcast(dtab), Seq("sub", "code"))
+        .groupBy(col(idCol), col("cell")).agg(sum(col("_pd")).as("_pdsum"))
+      if (residual)
+        summed.join(broadcast(centDot), "cell")
+          .select(col(idCol), (col("_pdsum") + col("_cd")).as("_dot"))
+      else summed.select(col(idCol), col("_pdsum").as("_dot"))
+    }
+    val shortlist = adcDot
       .join(norms, idCol).crossJoin(broadcast(qn2))
       .select(col(idCol),
         cosineQ(col("_dot"), col("_n2"), col("_qn2")).as("_acos"))

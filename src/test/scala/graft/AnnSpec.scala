@@ -289,4 +289,31 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("residual-PQ ADC beats raw-PQ at equal m/nCodes (mean recall@10 vs plain IVF)") {
+    import graft.sim.Ann
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    // ground truth per query: plain IVF (same probes, exact scoring) —
+    // so the ONLY degree of freedom is the ADC shortlist quality, the
+    // thing residual books are supposed to improve
+    val qids = (0L until 8L).toSeq
+    def meanRecall(residual: Boolean): Double = {
+      val hits = qids.map { qid =>
+        val truth = Ann.ivfTopK(emb, "vec_id", "embedding", qid, 10,
+            nCentroids = 20, nProbe = 4)
+          .select("vec_id").as[Long].collect().toSet
+        val funnel = Ann.ivfPqTopK(emb, "vec_id", "embedding", qid, 10,
+            dim = 64, nCentroids = 20, nProbe = 4, m = 4, nCodes = 16,
+            rerank = 20, residual = residual)
+          .select("vec_id").as[Long].collect().toSet
+        funnel.intersect(truth).size / 10.0
+      }
+      hits.sum / hits.size
+    }
+    val raw = meanRecall(residual = false)
+    val res = meanRecall(residual = true)
+    info(f"ADC shortlist recall@10: raw=$raw%.3f residual=$res%.3f (m=4, nCodes=16, rerank=20)")
+    assert(res > raw,
+      f"residual books must beat raw at equal budget: raw=$raw%.3f residual=$res%.3f")
+  }
+
 }
