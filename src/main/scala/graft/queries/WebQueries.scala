@@ -414,6 +414,27 @@ object WebQueries {
           col("n_tokens").cast("long").as("n_tokens"))
     }),
 
+    // T48s streaming crawl-to-corpus capstone: the SAME fixture and truth
+    // as q_crawl_corpus, but ingested as ONE continuous query (warc files
+    // land -> parseStream -> extractText -> latest-per-url MERGE ->
+    // incrementally recounted dedup corpus). 3 files per micro-batch, so
+    // the incremental view maintenance actually crosses batch boundaries.
+    "q_stream_crawl_corpus" -> ((s, dir) => {
+      import graft.streaming.StreamingCrawlCorpus
+      val out = Scratch.dir("stream_crawl_warc")
+      val base = Pages.synthesize(s, dir).where(col("p") < 96)
+      val mirror = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("url", concat(lit("https://mirror.example/p/"),
+          col("doc_id").cast("string")))
+      Warc.write(
+        base.unionByName(mirror).select(col("url"), col("warc_ts"), col("html")),
+        out, nFiles = 8, gzip = true)
+      val layer = StreamingCrawlCorpus.ingest(s, out,
+        Scratch.dir("stream_crawl_table"), Scratch.dir("stream_crawl_ckpt"),
+        maxFilesPerTrigger = 3)
+      StreamingCrawlCorpus.corpus(s, layer, minTokens = 20)
+    }),
+
     // S9 WARC sink+source roundtrip at volume: one day of pages through
     // the distributed writer (8 gzip files) and back; the oracle sees only
     // the pages derivation, so the check proves byte-exact WARC storage
@@ -691,6 +712,22 @@ object WebQueries {
     // min-url keeper dedup, length gate (extraction identity holds
     // because pages html wraps the already-normalized text)
     "q_crawl_corpus" ->
+      s"""WITH pg AS (SELECT * FROM $P p0 WHERE p0.p < 96),
+         |all_u AS (SELECT url, epoch_s, text FROM pg
+         |  UNION ALL SELECT 'https://mirror.example/p/' || CAST(doc_id AS VARCHAR),
+         |    epoch_s, text FROM pg WHERE doc_id % 10 = 0),
+         |latest AS (SELECT url, arg_max(text, epoch_s) AS text
+         |  FROM all_u GROUP BY url),
+         |g AS (SELECT md5(text) AS text_md5, min(url) AS url,
+         |    COUNT(*) AS n_copies,
+         |    CAST(max(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |  FROM latest GROUP BY md5(text))
+         |SELECT url, text_md5, n_copies, n_tokens
+         |FROM g WHERE n_tokens >= 20""".stripMargin,
+
+    // same truth as the batch q_crawl_corpus: the continuous query must
+    // converge to it for any batch slicing
+    "q_stream_crawl_corpus" ->
       s"""WITH pg AS (SELECT * FROM $P p0 WHERE p0.p < 96),
          |all_u AS (SELECT url, epoch_s, text FROM pg
          |  UNION ALL SELECT 'https://mirror.example/p/' || CAST(doc_id AS VARCHAR),

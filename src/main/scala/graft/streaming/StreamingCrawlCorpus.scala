@@ -1,0 +1,198 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ingest.Warc
+import graft.web.Web
+
+/** The streaming crawl-to-corpus capstone: S9s -> T28 -> T21 as ONE
+  * continuous query, not three separate drains. WARC files land in a
+  * directory; each micro-batch record-streams them (`Warc.parseStream`,
+  * O(record) task memory), extracts text in the same projection, and
+  * MERGEs two snapshot tables through the shared one-job sink:
+  *
+  *  - `pages/bucket=<url-hash>`: latest row per url
+  *    (url, epoch_s, text_md5, n_tokens) — the keepBest upsert;
+  *  - `corpus/bucket=<md5-hash>`: the exact-dedup corpus view
+  *    (text_md5, url = min member url, n_copies, n_tokens), maintained
+  *    INCREMENTALLY: only md5 groups actually perturbed by the batch are
+  *    recounted.
+  *
+  * Incremental view maintenance: a url whose text changes moves between
+  * md5 groups, so the affected-group set of a batch is
+  * {old md5 of every incoming url} ∪ {incoming md5s}. Old md5s come from
+  * the PRE-merge pages table; because foreachBatch is at-least-once and
+  * the pages MERGE may commit before a crash, the affected set is made
+  * DURABLE (written under `corpus-affected/b<batchId>` before the pages
+  * commit) and unioned with whatever a replay recomputes — a superset of
+  * the affected set only adds no-op recounts, so replays stay idempotent.
+  * Affected groups are then recounted against the post-merge pages table
+  * with a broadcast semi-join (one narrow scan — urls/md5s/counts move,
+  * never texts); groups left with no members become tombstones
+  * (n_copies = 0) rather than deletions, keeping the bucket-rewrite
+  * contract ("a touched bucket always re-appears") intact. The release
+  * gate (n_copies > 0, n_tokens >= minTokens) is a read-time filter over
+  * stored values, so the table converges to the batch `q_crawl_corpus`
+  * answer for ANY file arrival order, restart point, or batch slicing.
+  */
+object StreamingCrawlCorpus {
+
+  /** One micro-batch: pages upsert + incremental corpus recount. */
+  def mergeCrawlBatch(
+      spark: SparkSession,
+      layer: graft.table.ManifestTableLayer,
+      batch: DataFrame, // (url, epoch_s, text)
+      batchId: Long,
+      nBuckets: Int,
+      expireEvery: Int = 0
+  ): Unit = {
+    val rows = batch.select(col("url"), col("epoch_s"),
+        md5(col("text").cast("binary")).as("text_md5"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .persist()
+    try {
+      if (rows.isEmpty) return
+      // ---- (1) affected md5 groups, durable for replay
+      val preParts = layer.currentPartitions()
+        .filter(_.key.startsWith("pages/bucket=")).map(_.path)
+      val oldMd5 =
+        if (preParts.isEmpty) rows.select("text_md5").limit(0)
+        else spark.read.parquet(preParts: _*)
+          .join(rows.select("url").distinct(), Seq("url"), "left_semi")
+          .select("text_md5")
+      val freshAffected = oldMd5.unionByName(rows.select("text_md5")).distinct()
+      val affected = persistAffected(spark, layer, freshAffected, batchId)
+      try {
+        // ---- (2) latest-per-url MERGE (url-hash buckets). expire is
+        // deferred to the corpus merge: the batch protocol must not sweep
+        // its own affected file between the two commits.
+        val incPages = rows.withColumn(MergeSink.BucketCol,
+          pmod(xxhash64(col("url")), lit(nBuckets.toLong)).cast("string"))
+        MergeSink.mergeBuckets(spark, layer, incPages, batchId,
+          keyPrefix = "pages/bucket=", lineageTag = "stream-crawl-pages",
+          merge = MergeSink.keepBest(Seq("url"),
+            Seq(col("epoch_s").desc, col("text_md5").asc)))
+        // ---- (3) recount affected groups against the post-merge table
+        val postParts = layer.currentPartitions()
+          .filter(_.key.startsWith("pages/bucket=")).map(_.path)
+        val post = spark.read.parquet(postParts: _*)
+        val recounts = post.join(broadcast(affected), "text_md5")
+          .groupBy(col("text_md5"))
+          .agg(min(col("url")).as("url"), count(lit(1)).as("n_copies"),
+            max(col("n_tokens")).as("n_tokens"))
+        val tombstones = affected.join(recounts, Seq("text_md5"), "left_anti")
+          .select(col("text_md5"), lit(null).cast("string").as("url"),
+            lit(0L).as("n_copies"), lit(0L).as("n_tokens"))
+        val incCorpus = recounts
+          .select("text_md5", "url", "n_copies", "n_tokens")
+          .unionByName(tombstones)
+          .withColumn(MergeSink.BucketCol,
+            pmod(xxhash64(col("text_md5")), lit(nBuckets.toLong)).cast("string"))
+        MergeSink.mergeBuckets(spark, layer, incCorpus, batchId,
+          keyPrefix = "corpus/bucket=", lineageTag = "stream-crawl-corpus",
+          merge = (existing, incoming) =>
+            existing.join(incoming.select("text_md5").distinct(),
+                Seq("text_md5"), "left_anti")
+              .unionByName(incoming),
+          expireEvery = expireEvery)
+      } finally affected.unpersist()
+    } finally rows.unpersist()
+  }
+
+  /** Write the affected set under `corpus-affected/b<batchId>[-rN]` and
+    * return the union of THIS attempt with every earlier attempt of the
+    * same batch — the durable superset a replay needs.
+    */
+  private def persistAffected(
+      spark: SparkSession,
+      layer: graft.table.ManifestTableLayer,
+      fresh: DataFrame,
+      batchId: Long
+  ): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ns = layer.dataDir("corpus-affected")
+    java.nio.file.Files.createDirectories(ns)
+    val prevDirs = {
+      val s = java.nio.file.Files.list(ns)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n == s"b$batchId" || n.startsWith(s"b$batchId-r"))
+        .map(ns.resolve(_).toString).toList
+      finally s.close()
+    }
+    val combined = prevDirs match {
+      case Nil => fresh
+      case ds => spark.read.parquet(ds: _*).unionByName(fresh).distinct()
+    }
+    val attempt = Iterator.from(0)
+      .map(a => ns.resolve(if (a == 0) s"b$batchId" else s"b$batchId-r$a"))
+      .find(p => !java.nio.file.Files.exists(p)).get
+    combined.coalesce(1).write.mode("overwrite").parquet(attempt.toString)
+    val out = spark.read.parquet(attempt.toString).persist()
+    out.count()
+    out
+  }
+
+  /** The continuous query: stream `.warc(.gz)` files under `dir` through
+    * parse -> extract -> both MERGEs; drains with AvailableNow. Returns
+    * the layer for reads; a later call with the same checkpoint resumes.
+    */
+  def ingest(
+      spark: SparkSession,
+      dir: String,
+      tableRoot: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 0,
+      nBuckets: Int = 16,
+      expireEvery: Int = 8
+  ): graft.table.ManifestTableLayer = {
+    import spark.implicits._
+    val layer = new graft.table.ManifestTableLayer(tableRoot)
+    val schema = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(dir).schema
+    val reader = spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.warc*")
+    val src = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).load(dir)
+    val recs = src
+      .select(col("path")).as[String]
+      .flatMap { p =>
+        val uri = new java.net.URI(p)
+        val fs = org.apache.hadoop.fs.FileSystem.get(uri,
+          new org.apache.hadoop.conf.Configuration())
+        Warc.parseStream(fs.open(new org.apache.hadoop.fs.Path(uri)),
+          gz = p.endsWith(".gz"))
+      }
+      .toDF("url", "epoch_s", "html")
+      .select(col("url"), col("epoch_s"),
+        Web.extractText(col("html").cast("string")).as("text"))
+    val q = recs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        mergeCrawlBatch(spark, layer, batch, id, nBuckets, expireEvery))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    layer
+  }
+
+  /** The release-gated corpus: live md5 groups with enough tokens —
+    * bitwise the batch `q_crawl_corpus` shape once the source drains.
+    */
+  def corpus(
+      spark: SparkSession,
+      layer: graft.table.ManifestTableLayer,
+      minTokens: Long
+  ): DataFrame = {
+    val parts = layer.currentPartitions()
+      .filter(_.key.startsWith("corpus/bucket=")).map(_.path)
+    require(parts.nonEmpty, "corpus table has no live partitions")
+    spark.read.parquet(parts: _*)
+      .filter(col("n_copies") > 0 && col("n_tokens") >= minTokens)
+      .select("url", "text_md5", "n_copies", "n_tokens")
+  }
+}

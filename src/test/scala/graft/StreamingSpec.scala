@@ -183,6 +183,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(r2.count() == 70)
   }
 
+  test("streaming crawl corpus: kill/resume, changed url moves md5 groups, late dup recounts == batch truth") {
+    import graft.streaming.StreamingCrawlCorpus
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream-crawl-").toString
+    val warcDir = s"$base/warc"
+    Files.createDirectories(Paths.get(warcDir))
+    def page(url: String, epoch: Long, text: String) =
+      (url, epoch, s"<html><body>$text</body></html>".getBytes("UTF-8"))
+    def writeWave(tag: String, pages: Seq[(String, Long, Array[Byte])]): Unit = {
+      val tmp = s"$base/$tag"
+      graft.ingest.Warc.write(
+        pages.toDF("url", "epoch_s", "html")
+          .select(col("url"), timestamp_seconds(col("epoch_s")).as("warc_ts"),
+            col("html")),
+        tmp, nFiles = 2, gzip = true)
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(tmp))
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        Files.copy(p, Paths.get(s"$warcDir/$tag-${p.getFileName}"))
+      } finally s.close()
+    }
+    val wave1 = (0 until 10).map(i =>
+      page(s"https://w.example/p/$i", 1000 + i, s"text number $i one two three")) :+
+      page("https://w.example/short", 1500, "too short") // gated out (< 3 tokens? no: 2 tokens)
+    writeWave("w1", wave1)
+    val l1 = StreamingCrawlCorpus.ingest(spark, warcDir,
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    assert(StreamingCrawlCorpus.corpus(spark, l1, minTokens = 3).count() == 10)
+    // wave 2 lands AFTER the restart: p/0 re-crawled with p/1's TEXT (its
+    // old md5 group must tombstone — sole member gone — and p/1's group
+    // must recount to 2 copies), plus a brand-new url
+    val wave2 = Seq(
+      page("https://w.example/p/0", 2000, "text number 1 one two three"),
+      page("https://w.example/p/10", 2001, "text number 10 one two three"))
+    writeWave("w2", wave2)
+    val l2 = StreamingCrawlCorpus.ingest(spark, warcDir,
+      s"$base/table", s"$base/ckpt", maxFilesPerTrigger = 1)
+    val got = StreamingCrawlCorpus.corpus(spark, l2, minTokens = 3)
+      .select("url", "text_md5", "n_copies", "n_tokens")
+    // batch truth over ALL records: latest per url -> md5 groups -> gate
+    val all = (wave1 ++ wave2).toDF("url", "epoch_s", "html")
+      .select(col("url"), col("epoch_s"),
+        graft.web.Web.extractText(col("html").cast("string")).as("text"))
+    val latest = all
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+          .orderBy(col("epoch_s").desc)))
+      .filter(col("_rn") === 1)
+    val truth = latest
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("url")).as("url"), count(lit(1)).as("n_copies"),
+        max(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .filter(col("n_tokens") >= 3)
+      .select("url", "text_md5", "n_copies", "n_tokens")
+    assert(got.except(truth).isEmpty && truth.except(got).isEmpty,
+      "streamed corpus must equal the batch crawl-to-corpus truth")
+    assert(got.count() == truth.count())
+    // the dup really recounted: p/1's text now has 2 copies, min url p/0
+    assert(got.filter(col("n_copies") === 2).count() == 1)
+    assert(got.filter(col("n_copies") === 2).select("url").as[String].head()
+      == "https://w.example/p/0")
+    // p/0's ORIGINAL text group is tombstoned (0 members), not stale
+    val origMd5 = all.filter(col("url") === "https://w.example/p/0" &&
+        col("epoch_s") === 1000)
+      .select(md5(col("text").cast("binary"))).as[String].head()
+    assert(got.filter(col("text_md5") === origMd5).isEmpty,
+      "changed url's old md5 group must vanish from the corpus")
+  }
+
   test("streaming change detection resumes across restarts == batch revisitChanges (kill/resume)") {
     import spark.implicits._
     val base = Files.createTempDirectory(
