@@ -222,6 +222,66 @@ object PageQueries {
         .select(unix_timestamp(col("ts")).as("epoch_s"), col("DE_load_actual"))
     }),
 
+    // S2/S3 config-driven source registry (the reference's sources.yml +
+    // read-loop architecture): two sources with different formats — an EU
+    // CSV (decimal comma, coerce-null) and a hand-built two-header-row
+    // xlsx — each declaring reader/params/column map in one yml-shaped
+    // config, dispatched and stacked long by SourceRegistry.readAll. The
+    // oracle re-reads the CSV with DuckDB's reader and recomputes the
+    // workbook arithmetic.
+    "q_source_registry" -> ((s, dir) => {
+      import graft.ingest.SourceRegistry
+      val csvPath = java.nio.file.Paths.get(Scratch.dir("reg") + "/entso.csv")
+      java.nio.file.Files.createDirectories(csvPath.getParent)
+      val csvRows = (0 until 24).map { i =>
+        val ts = f"2024-01-01T$i%02d:00:00Z"
+        val load = if (i == 5) "n/a" else s"$i,5"
+        s"$ts;$load"
+      }
+      java.nio.file.Files.writeString(csvPath,
+        "timestamp;DE_load\n;actual\n" + csvRows.mkString("\n") + "\n")
+      val xlsxDir = Scratch.dir("reg_xlsx")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(xlsxDir))
+      def istr(ref: String, v: String) =
+        s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+      def num(ref: String, v: Double) = s"""<c r="$ref"><v>$v</v></c>"""
+      val sheet =
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+          s"""<row r="1">${istr("A1", "timestamp")}${istr("B1", "AT_gen")}</row>""" +
+          s"""<row r="2">${istr("B2", "actual")}</row>""" +
+          (0 until 24).map { i =>
+            s"""<row r="${i + 3}">${istr(s"A${i + 3}", f"2024-02-01T$i%02d:00:00Z")}${num(s"B${i + 3}", 100.0 + i * 0.5)}</row>"""
+          }.mkString +
+          """</sheetData></worksheet>"""
+      val zout = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(s"$xlsxDir/at.xlsx")))
+      try {
+        zout.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+        zout.write(sheet.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zout.closeEntry()
+      } finally zout.close()
+      val cfg =
+        s"""entso_csv:
+           |  format: csv
+           |  path: $csvPath
+           |  sep: ;
+           |  header_rows: 2
+           |  columns:
+           |    DE_load_actual: de_load
+           |tso_xlsx:
+           |  format: xlsx
+           |  path: $xlsxDir
+           |  header_rows: 2
+           |  columns:
+           |    AT_gen_actual: at_gen
+           |""".stripMargin
+      SourceRegistry.readAll(s, SourceRegistry.parse(cfg))
+        .select(col("source"), col("series"),
+          unix_timestamp(col("ts")).as("epoch_s"), col("value"))
+    }),
+
     // S6 Excel sink + S3 Excel source, closed as a ROUNDTRIP oracle (the
     // q_gorilla_roundtrip pattern): the 15-min score tier is exported to
     // a real xlsx workbook (pure-JDK OOXML writer) and read back via the
@@ -461,6 +521,20 @@ object PageQueries {
         |  1000.0 + i*1.5 AS DE_load_actual,
         |  CASE WHEN i % 7 = 5 THEN NULL ELSE i*0.25 END AS DE_wind_actual
         |FROM (SELECT UNNEST(generate_series(0, 95)) AS i) t""".stripMargin,
+
+    // registry output replayed per source: DuckDB re-reads the CSV, the
+    // workbook arithmetic is recomputed from generate_series
+    "q_source_registry" ->
+      s"""WITH c AS (SELECT epoch_us(CAST(c0 AS TIMESTAMPTZ))//1000000 AS epoch_s,
+         |    TRY_CAST(replace(replace(trim(c1), '.', ''), ',', '.') AS DOUBLE) AS value
+         |  FROM read_csv('${Scratch.dir("reg")}/entso.csv', delim=';', header=false,
+         |    skip=2, columns={'c0':'VARCHAR','c1':'VARCHAR'})),
+         |x AS (SELECT CAST(1706745600 + i*3600 AS BIGINT) AS epoch_s,
+         |    100.0 + i*0.5 AS value
+         |  FROM (SELECT UNNEST(generate_series(0, 23)) AS i) t)
+         |SELECT 'entso_csv' AS source, 'de_load' AS series, epoch_s, value FROM c
+         |UNION ALL
+         |SELECT 'tso_xlsx' AS source, 'at_gen' AS series, epoch_s, value FROM x""".stripMargin,
 
     "q_csv_source" ->
       s"""SELECT epoch_us(CAST(c0 AS TIMESTAMPTZ))//1000000 AS epoch_s,

@@ -133,4 +133,43 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(ts == Seq(1729985400L, 1729992600L, 1729996200L),
       s"got ${ts.map(java.time.Instant.ofEpochSecond(_))}")
   }
+
+  test("source registry config parses reader, params, tz policy, and column maps per source") {
+    import graft.ingest.SourceRegistry
+    val specs = SourceRegistry.parse(
+      """# comment line
+        |entso:
+        |  format: csv
+        |  path: /data/entso
+        |  sep: ;
+        |  header_rows: 3
+        |  tz: Europe/Berlin
+        |  ambiguous: latest
+        |  columns:
+        |    DE_load_actual_entso_MW: de_load
+        |    DE_wind_actual_entso_MW: de_wind
+        |tso:
+        |  format: xlsx
+        |  path: /data/tso
+        |  header_rows: 2
+        |  columns:
+        |    AT_gen_actual: at_gen
+        |""".stripMargin)
+    assert(specs.map(_.name) == Seq("entso", "tso"))
+    val e = specs.head
+    assert(e.format == "csv" && e.path == "/data/entso" && e.sep == ";" &&
+      e.headerRows == 3 && e.tz == "Europe/Berlin" && e.ambiguous == "latest")
+    assert(e.columnMap == Map("DE_load_actual_entso_MW" -> "de_load",
+      "DE_wind_actual_entso_MW" -> "de_wind"))
+    val t = specs(1)
+    assert(t.format == "xlsx" && t.tz == "" && t.headerRows == 2 &&
+      t.columnMap == Map("AT_gen_actual" -> "at_gen"))
+    // unknown keys and missing format fail loudly, not silently
+    intercept[IllegalArgumentException] {
+      SourceRegistry.parse("s:\n  formt: csv\n  path: /x\n")
+    }
+    intercept[IllegalArgumentException] {
+      SourceRegistry.parse("s:\n  path: /x\n")
+    }
+  }
 }
