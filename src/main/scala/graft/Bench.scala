@@ -355,7 +355,13 @@ object Bench {
       "q_ann_batch", "q_ann_ivf_indexed", "q_index_read", "q_dup_clusters",
       // round-5 web-pipeline ops (additive keys — earlier-round columns
       // stay comparable)
-      "q_html_extract", "q_link_graph", "q_change_rate", "q_dup_windows")
+      "q_html_extract", "q_link_graph", "q_change_rate", "q_dup_windows",
+      // round-6 additions (additive): the residual IVF+PQ funnel (timed
+      // incl. its deterministic training) and the registry ingest;
+      // q_stream_crawl_corpus is excluded — its checkpoint makes a second
+      // in-JVM run a no-op, so a timed sample would not measure the work
+      // (volume evidence for the dedup path lives in tools/TimeDedup)
+      "q_ann_ivfpq_res", "q_source_registry")
     // per-query warm pass at the SMALLEST fixture: compiles THIS query's
     // codegen + C2 paths (stages get the same treatment above — a
     // single-shot number reports the JIT, not the engine) WITHOUT

@@ -66,6 +66,26 @@ object SimQueries {
         .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
     }),
 
+    // T51 IVF index APPEND: the index is built from 2/3 of the corpus
+    // (centroids trained on that base), the remaining third is appended
+    // WITHOUT a rebuild — assignment reuses the stored centroids, new
+    // rows land as appended files in their cell partitions — then the
+    // probe runs over base + appended. Oracle: assignment + probe +
+    // scoring of the FULL corpus replayed from the index's centroid dump.
+    "q_ann_ivf_append" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = Scratch.dir("ivf_append")
+      Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", path, nCentroids = 20)
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", path)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Ann.ivfTopKIndexed(s, path, "vec_id", "embedding", qv,
+          excludeId = 0L, k = 10, nProbe = 4)
+        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
+    }),
+
     // batched ANN: 3 queries against the corpus in one pass, per-query
     // top-k via salted two-phase ranking (no per-query single task)
     "q_ann_batch" -> ((s, dir) => {
@@ -470,6 +490,9 @@ object SimQueries {
 
     "q_ann_ivf" -> ivfSqlFromDump(Scratch.dir("ivf_cents")),
     "q_ann_ivf_indexed" -> ivfSqlFromDump(s"${Scratch.dir("ivf_index")}/centroids"),
+    // append-maintained index == assignment of the FULL corpus to the
+    // base-trained dump (what the cells dir now physically contains)
+    "q_ann_ivf_append" -> ivfSqlFromDump(s"${Scratch.dir("ivf_append")}/centroids"),
 
     // batched IVF: same assignment CTEs, per-query probes + per-query rank
     "q_ann_ivf_batch" ->

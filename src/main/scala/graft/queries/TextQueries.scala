@@ -69,6 +69,14 @@ object TextQueries {
       TextOps.topNgrams(
         s.read.parquet(s"$dir/documents.parquet"), "lang", "text", 2, 20)),
 
+    // T50 sequence packing (concat-then-chunk training layout): global
+    // token prefix sum via the two-phase distributed scan (range
+    // partitions + bounded per-partition totals), NEVER an unpartitioned
+    // window; each doc's (start_tok, chunk span) against contextLen=512
+    "q_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 512)),
+
     // Exact per-language token-length quantiles by RANK SELECTION (type-1,
     // ties broken by doc_id — a total order both engines share). Exact
     // order statistics need a per-group sort; the at-scale variant is
@@ -560,6 +568,23 @@ object TextQueries {
          |  CAST(length(text) AS INT) AS n_chars,
          |  CAST(len(list_distinct($TOKS)) AS DOUBLE) / len($TOKS) AS ttr
          |FROM documents""".stripMargin,
+
+    // the global prefix sum replayed as a plain ordered window (the
+    // oracle can afford the single-partition scan the engine must not)
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 512 AS first_chunk,
+        |  (start_tok + n_tokens - 1) // 512 AS last_chunk,
+        |  (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 AS n_chunks
+        |FROM c""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH toks AS (SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -481,6 +481,31 @@ object Ann {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** T51: append NEW vectors to a materialized IVF index WITHOUT a
+    * rebuild — the maintenance mode a continuously-ingesting vector store
+    * runs (retraining happens on drift, not per batch): assignment reuses
+    * the STORED centroids (read back from `<path>/centroids` and folded
+    * into the same literal projection, so appended rows are assigned
+    * bit-identically to the original build), and the new rows land as
+    * APPENDED files inside their cell partitions. Probes see
+    * base + appended transparently; untouched cell files are never
+    * rewritten (AnnSpec asserts byte-stable base files).
+    */
+  def appendToIvfIndex(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String
+  ): Unit = {
+    val spark = vectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centRows = cents.select(col("_cell"), col("_cv")).collect()
+    ivfAssignRows(vectors, idCol, vecCol, centRows,
+        cents.schema("_cv").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Probe a materialized IVF index: nearest `nProbe` cells are computed
     * from the tiny centroid table alone, then ONLY those cell partitions
     * are scanned (`cell isin probes` prunes at the file listing).

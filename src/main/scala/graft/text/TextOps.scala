@@ -723,6 +723,67 @@ object TextOps {
       .select(col("doc"), col("token"), col("tf"), col("df"), col("rank"))
   }
 
+  /** T50: sequence PACKING for training (the GPT-style concat-then-chunk
+    * layout): documents concatenate in id order into one token stream
+    * that is sliced into fixed `contextLen` windows; each doc's placement
+    * is (start_tok, first_chunk, last_chunk, n_chunks) — what a data
+    * loader needs to materialize any training window.
+    *
+    * The core is a GLOBAL PREFIX SUM of token counts in id order. A
+    * naive `sum().over(Window.orderBy(id))` plans an unpartitioned
+    * WindowExec — every row through ONE task, the round-1 scale killer.
+    * Instead the classic two-phase distributed scan: range-partition by
+    * id, cumsum locally per partition (mapPartitions — genuinely
+    * imperative per-partition logic), collect the BOUNDED per-partition
+    * totals (one row per partition), exclusive-scan them on the driver,
+    * and add each partition's offset back as a broadcast map literal.
+    * Two passes over narrow (id, n_tokens) rows, zero global sorts.
+    * Determinism: range partitioning + in-partition sort by id make the
+    * local scan order the global id order, so the result is independent
+    * of input partitioning (TextOpsSpec asserts bitwise invariance).
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      contextLen: Int
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+    def scan[T](emit: (Int, Long, Long, Long) => T)(implicit e: org.apache.spark.sql.Encoder[T]) =
+      toks.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        it.map { r =>
+          val id = r.getLong(0); val n = r.getLong(1)
+          run += n
+          emit(pid, id, n, run) // run = INCLUSIVE local prefix
+        }
+      }
+    // pass 1: bounded per-partition totals -> exclusive offsets
+    val partials = scan((pid, _, _, run) => (pid, run))
+      .groupByKey(_._1).mapGroups((pid, rows) => (pid, rows.map(_._2).max))
+      .collect().sortBy(_._1)
+    val offsets = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }
+    val offMap = (partials.map(_._1) zip offsets.map(_._2)).toMap
+    // pass 2: local cumsum + broadcast offset = global prefix sum
+    val offCol = element_at(typedLit(offMap), col("pid"))
+    scan((pid, id, n, run) => (pid, id, n, run))
+      .toDF("pid", "id", "n_tokens", "local_cum")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("local_cum") - col("n_tokens") + offCol).as("start_tok"))
+      .withColumn("first_chunk", expr(s"start_tok div $contextLen"))
+      .withColumn("last_chunk",
+        expr(s"(start_tok + n_tokens - 1) div $contextLen"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

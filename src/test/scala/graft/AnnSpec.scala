@@ -289,6 +289,56 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index append: base cell files byte-stable, appended vectors retrievable, assignment matches the stored centroids") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val path = "/root/repo/target/test_tmp/ivf_append_spec"
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", path, nCentroids = 20)
+    def cellFiles() = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/cells"))
+      // data part files only: the _SUCCESS marker (+ its crc) is
+      // legitimately rewritten by the append commit
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(_.getFileName.toString.contains("part-"))
+        .map(f => (f.toString,
+          java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+      finally s.close()
+    }
+    val before = cellFiles()
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", path)
+    // append NEVER rewrites existing files — new part files only
+    val after = cellFiles()
+    assert(before.subsetOf(after), "append must not rewrite base cell files")
+    assert(after.size > before.size, "append must add new cell files")
+    // every vector is in the index exactly once, assigned identically to
+    // a from-scratch assignment against the SAME stored centroids
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.count() == emb.count())
+    val rebuilt = Ann.ivfAssign(emb, "vec_id", "embedding",
+      spark.read.parquet(s"$path/centroids"))
+    val stored = cells.select(col("vec_id"), col("cell").cast("long").as("cell"))
+    assert(stored.except(rebuilt.select("vec_id", "cell")).isEmpty &&
+      rebuilt.select("vec_id", "cell").except(stored).isEmpty)
+    // probes see appended vectors: a query appended in wave 2 retrieves
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = Ann.ivfTopKIndexed(spark, path, "vec_id", "embedding", qv,
+        excludeId = 0L, k = 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.size == 10)
+    assert(got.exists(_ % 3 == 0) && got.exists(_ % 3 != 0),
+      s"top-10 should mix base and appended vectors, got $got")
+  }
+
   test("residual-PQ ADC beats raw-PQ at equal m/nCodes (mean recall@10 vs plain IVF)") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")

@@ -206,4 +206,32 @@ class TextOpsSpec extends AnyFunSuite {
         s"$lang: approx ${approx(lang)} drifted from exact $p50")
     }
   }
+
+  test("packSequences: partition-invariant global prefix sum, gapless token stream, no global window") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextOps.packSequences(df, "doc_id", "text", 512)
+    val a = pack(docs).collect().toSet
+    // the two-phase scan must be independent of the INPUT partitioning
+    assert(a == pack(docs.repartition(13)).collect().toSet)
+    assert(a == pack(docs.repartition(1)).collect().toSet)
+    // the concatenated stream is gapless: sorted by doc_id, each start is
+    // the previous end, starting at 0, and chunk spans match the algebra
+    val sorted = pack(docs)
+      .select("doc_id", "n_tokens", "start_tok", "first_chunk", "last_chunk", "n_chunks")
+      .collect().sortBy(_.getLong(0))
+    var expectStart = 0L
+    sorted.foreach { r =>
+      assert(r.getLong(2) == expectStart, s"gap at doc ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(2) / 512)
+      assert(r.getLong(4) == (r.getLong(2) + r.getLong(1) - 1) / 512)
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1)
+      expectStart += r.getLong(1)
+    }
+    // scale shape: NO unpartitioned global window anywhere in the plan
+    val plan = pack(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"packing must not plan a window (single-partition scan):\n$plan")
+  }
 }
