@@ -225,11 +225,16 @@ object Pipeline {
       // ---- higher tiers: each chains from its freshly merged child —
       // one aggregation + one dynamic-partition commit PER TIER, never
       // per (tier, day)
+      // one snapshot read per stage (not per day): the committed paths of
+      // the touched days, for the read-back that feeds the next stage
+      def committedPaths(keyOf: String => String): Seq[String] = {
+        val cur = table.currentPartitions().map(p => p.key -> p.path).toMap
+        days.map(d => cur(keyOf(d)))
+      }
       for (((tier, period), idx) <- Tiers.zipWithIndex if tier != "15min") {
         val child = Tiers(idx - 1)._1
         val childDf = spark.read.parquet(
-          days.map(d => table.currentPartitions()
-            .find(_.key == tierKey(child, d)).get.path): _*)
+          committedPaths(d => tierKey(child, d)): _*)
         commitRefreshedDays(spark, table,
           TimeSeriesOps.chainTier(childDf, seriesCols, period)
             .withColumn("_day", dayOfBucket),
@@ -240,8 +245,7 @@ object Pipeline {
       // keyed job (runs restart at day boundaries — bitwise the per-day
       // build)
       val t15 = spark.read.parquet(
-        days.map(d => table.currentPartitions()
-          .find(_.key == tierKey("15min", d)).get.path): _*)
+        committedPaths(d => tierKey("15min", d)): _*)
       val flat = t15.select(
         to_date(timestamp_seconds(col("bucket_ts"))).cast("string").as("pkey"),
         concat_ws("_", col("domain"), col("metric")).as("series_flat"),
@@ -251,8 +255,7 @@ object Pipeline {
           .withColumnRenamed("pkey", "_day"),
         days, d => chunkKey("15min", d), "delta-chunks", "delta-chunks:15min")
       val chunks = spark.read.parquet(
-          days.map(d => table.currentPartitions()
-            .find(_.key == chunkKey("15min", d)).get.path): _*)
+          committedPaths(d => chunkKey("15min", d)): _*)
         .withColumn("pkey",
           to_date(timestamp_seconds(col("t0"))).cast("string"))
       commitRefreshedDays(spark, table,
