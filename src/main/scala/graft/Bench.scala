@@ -361,7 +361,11 @@ object Bench {
       // q_stream_crawl_corpus is excluded — its checkpoint makes a second
       // in-JVM run a no-op, so a timed sample would not measure the work
       // (volume evidence for the dedup path lives in tools/TimeDedup)
-      "q_ann_ivfpq_res", "q_source_registry")
+      "q_ann_ivfpq_res", "q_source_registry",
+      // late round-6 (additive): training-set layout (distributed-scan
+      // shuffle-to-shards) and the Z-order zone-map box read (timed incl.
+      // the layout write — the op a store pays once per compaction)
+      "q_shuffle_shards", "q_zorder_prune")
     // per-query warm pass at the SMALLEST fixture: compiles THIS query's
     // codegen + C2 paths (stages get the same treatment above — a
     // single-shot number reports the JIT, not the engine) WITHOUT

@@ -197,10 +197,6 @@ object Pipeline {
       val current = table.currentPartitions().map(p => p.key -> p).toMap
       def touchedPaths(keyOf: String => String): Seq[String] =
         days.flatMap(d => current.get(keyOf(d)).map(_.path))
-      // bucket_ts -> day, for routing merged rows into day partitions
-      // (windows never span days, so this is exact)
-      val dayOfBucket =
-        to_date(timestamp_seconds(col("bucket_ts"))).cast("string").as("_day")
 
       // ---- 15-min: stored partials of ALL touched days ∪ delta partials,
       // summed in ONE distributed aggregation — exact algebra, regardless
@@ -219,51 +215,157 @@ object Pipeline {
         .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
         .withColumn("mean_v", col("sum_v") / col("n"))
         .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
-      commitRefreshedDays(spark, table, merged15.withColumn("_day", dayOfBucket),
-        days, d => tierKey("15min", d), "delta-15min", "delta-merge:15min")
-
-      // ---- higher tiers: each chains from its freshly merged child —
-      // one aggregation + one dynamic-partition commit PER TIER, never
-      // per (tier, day)
-      // one snapshot read per stage (not per day): the committed paths of
-      // the touched days, for the read-back that feeds the next stage
-      def committedPaths(keyOf: String => String): Seq[String] = {
-        val cur = table.currentPartitions().map(p => p.key -> p.path).toMap
-        days.map(d => cur(keyOf(d)))
-      }
-      for (((tier, period), idx) <- Tiers.zipWithIndex if tier != "15min") {
-        val child = Tiers(idx - 1)._1
-        val childDf = spark.read.parquet(
-          committedPaths(d => tierKey(child, d)): _*)
-        commitRefreshedDays(spark, table,
-          TimeSeriesOps.chainTier(childDf, seriesCols, period)
-            .withColumn("_day", dayOfBucket),
-          days, d => tierKey(tier, d), s"delta-$tier", s"delta-chain:$tier")
-      }
-
-      // ---- Gorilla chunks + delta index for every touched day, each ONE
-      // keyed job (runs restart at day boundaries — bitwise the per-day
-      // build)
-      val t15 = spark.read.parquet(
-        committedPaths(d => tierKey("15min", d)): _*)
-      val flat = t15.select(
-        to_date(timestamp_seconds(col("bucket_ts"))).cast("string").as("pkey"),
-        concat_ws("_", col("domain"), col("metric")).as("series_flat"),
-        col("bucket_ts").as("ts"), col("mean_v").as("value"))
-      commitRefreshedDays(spark, table,
-        ChunkWriter.buildKeyed(flat, "15min", chunkMaxPoints).toDF()
-          .withColumnRenamed("pkey", "_day"),
-        days, d => chunkKey("15min", d), "delta-chunks", "delta-chunks:15min")
-      val chunks = spark.read.parquet(
-          committedPaths(d => chunkKey("15min", d)): _*)
-        .withColumn("pkey",
-          to_date(timestamp_seconds(col("t0"))).cast("string"))
-      commitRefreshedDays(spark, table,
-        ChunkWriter.buildIndexKeyed(chunks, indexBuckets)
-          .withColumnRenamed("pkey", "_day"),
-        days, d => indexKey("15min", d), "delta-index", "delta-index:chunks-15min")
+      refreshChainFrom15(spark, table, merged15, days, "delta",
+        chunkMaxPoints, indexBuckets)
       days
     } finally withDay.unpersist()
+  }
+
+  /** GDPR / right-to-be-forgotten delete, propagated through the store:
+    * remove every row of the given urls from the raw pages store AND
+    * rebuild exactly the tier/chunk/index partitions those rows
+    * contributed to. Deletes are NOT algebraic over the stored (n, sum)
+    * partials — subtracting would have to trust values that are being
+    * erased — so the touched days RECOMPUTE their 15-min tier from the
+    * PATCHED raw pages; the rest of the chain is the same
+    * one-job-per-stage copy-on-write refresh as [[applyDelta]].
+    *
+    * Scale shape: a url lives in exactly ONE storage bucket
+    * (bucket = url-hash), so the raw patch dynamic-partition-overwrites
+    * only the (bucket, day) dirs that held the url — at 100 TB a
+    * single-user erasure touches |days| files of one bucket, never the
+    * corpus. Days whose pages are erased ENTIRELY are dropped from the
+    * table (their partitions would otherwise go stale), not rebuilt.
+    * Returns (refreshed days, dropped days).
+    */
+  def forgetUrls(
+      spark: SparkSession,
+      pagesPath: String,
+      table: ManifestTableLayer,
+      urls: Seq[String],
+      buckets: Int = 16,
+      chunkMaxPoints: Int = 1024,
+      indexBuckets: Int = 16
+  ): (Seq[String], Seq[String]) = {
+    import spark.implicits._
+    require(urls.nonEmpty, "forgetUrls needs at least one url")
+    val pages = spark.read.parquet(pagesPath)
+    val hit = pages.filter(col("url").isin(urls: _*))
+      .select(col("bucket"), col("day").cast("string"))
+      .distinct().as[(Int, String)].collect()
+    if (hit.isEmpty) return (Seq.empty, Seq.empty)
+    val touchedBuckets = hit.map(_._1).distinct.sorted.toSeq
+    val days = hit.map(_._2).distinct.sorted.toSeq
+
+    // ---- patch the raw store: rewrite ONLY the (bucket, day) partitions
+    // that held a forgotten url, in one dynamic-partition overwrite
+    val patched = pages
+      .filter(col("bucket").isin(touchedBuckets: _*) &&
+        col("day").cast("string").isin(days: _*))
+      .filter(!col("url").isin(urls: _*))
+      .localCheckpoint() // materialized BEFORE the overwrite deletes its own input files
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try patched.write.mode("overwrite").partitionBy("bucket", "day")
+      .parquet(pagesPath)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // a (bucket, day) partition the erasure emptied ENTIRELY gets no dir
+    // from the dynamic overwrite — its stale pre-forget files must go
+    // explicitly, or the deleted rows would silently stay live
+    val aliveParts = patched
+      .groupBy(col("bucket"), col("day").cast("string").as("day"))
+      .count().collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    hit.filterNot(aliveParts.contains).foreach { case (b, d) =>
+      val dir = java.nio.file.Paths.get(pagesPath, s"bucket=$b", s"day=$d")
+      if (java.nio.file.Files.exists(dir)) {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+    }
+
+    // ---- recompute the touched days' 15-min tier from patched raw; days
+    // the erasure emptied entirely are DROPPED, not rebuilt
+    val freshPages = spark.read.parquet(pagesPath)
+      .filter(col("day").cast("string").isin(days: _*))
+    val alive = freshPages.select(col("day").cast("string"))
+      .distinct().as[String].collect().toSet
+    val (rebuildDays, droppedDays) = days.partition(alive.contains)
+    if (droppedDays.nonEmpty) {
+      val gone = droppedDays.toSet
+      table.dropPartitions { p =>
+        gone.exists(d => p.key.endsWith(s"/day=$d"))
+      }
+    }
+    if (rebuildDays.nonEmpty) {
+      val fresh15 = tier15FromPages(
+        freshPages.filter(col("day").cast("string").isin(rebuildDays: _*)))
+        .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+      refreshChainFrom15(spark, table, fresh15, rebuildDays, "forget",
+        chunkMaxPoints, indexBuckets)
+    }
+    (rebuildDays, droppedDays)
+  }
+
+  /** Shared tail of [[applyDelta]] / [[forgetUrls]]: commit the given
+    * 15-min tier content for the touched days, then re-chain every higher
+    * tier and rebuild chunks + index — one aggregation + one
+    * copy-on-write dynamic-partition commit PER STAGE (never per day).
+    */
+  private def refreshChainFrom15(
+      spark: SparkSession,
+      table: ManifestTableLayer,
+      merged15: DataFrame,
+      days: Seq[String],
+      tag: String,
+      chunkMaxPoints: Int,
+      indexBuckets: Int
+  ): Unit = {
+    // bucket_ts -> day, for routing merged rows into day partitions
+    // (windows never span days, so this is exact)
+    val dayOfBucket =
+      to_date(timestamp_seconds(col("bucket_ts"))).cast("string").as("_day")
+    commitRefreshedDays(spark, table, merged15.withColumn("_day", dayOfBucket),
+      days, d => tierKey("15min", d), s"$tag-15min", s"$tag-merge:15min")
+
+    // one snapshot read per stage (not per day): the committed paths of
+    // the touched days, for the read-back that feeds the next stage
+    def committedPaths(keyOf: String => String): Seq[String] = {
+      val cur = table.currentPartitions().map(p => p.key -> p.path).toMap
+      days.map(d => cur(keyOf(d)))
+    }
+    for (((tier, period), idx) <- Tiers.zipWithIndex if tier != "15min") {
+      val child = Tiers(idx - 1)._1
+      val childDf = spark.read.parquet(
+        committedPaths(d => tierKey(child, d)): _*)
+      commitRefreshedDays(spark, table,
+        TimeSeriesOps.chainTier(childDf, seriesCols, period)
+          .withColumn("_day", dayOfBucket),
+        days, d => tierKey(tier, d), s"$tag-$tier", s"$tag-chain:$tier")
+    }
+
+    // ---- Gorilla chunks + delta index for every touched day, each ONE
+    // keyed job (runs restart at day boundaries — bitwise the per-day
+    // build)
+    val t15 = spark.read.parquet(
+      committedPaths(d => tierKey("15min", d)): _*)
+    val flat = t15.select(
+      to_date(timestamp_seconds(col("bucket_ts"))).cast("string").as("pkey"),
+      concat_ws("_", col("domain"), col("metric")).as("series_flat"),
+      col("bucket_ts").as("ts"), col("mean_v").as("value"))
+    commitRefreshedDays(spark, table,
+      ChunkWriter.buildKeyed(flat, "15min", chunkMaxPoints).toDF()
+        .withColumnRenamed("pkey", "_day"),
+      days, d => chunkKey("15min", d), s"$tag-chunks", s"$tag-chunks:15min")
+    val chunks = spark.read.parquet(
+        committedPaths(d => chunkKey("15min", d)): _*)
+      .withColumn("pkey",
+        to_date(timestamp_seconds(col("t0"))).cast("string"))
+    commitRefreshedDays(spark, table,
+      ChunkWriter.buildIndexKeyed(chunks, indexBuckets)
+        .withColumnRenamed("pkey", "_day"),
+      days, d => indexKey("15min", d), s"$tag-index", s"$tag-index:chunks-15min")
   }
 
   /** Copy-on-write refresh of MANY day partitions in one shot: write the

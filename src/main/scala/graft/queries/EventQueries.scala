@@ -90,6 +90,29 @@ object EventQueries {
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-ORDER clustering + zone-map skipping: events laid out on the
+    // Morton interleave of (user_id, time), then a two-predicate box
+    // query answered from the zone sidecar — only file groups whose
+    // (user, time) box intersects the query are listed/scanned
+    // (SkippingSpec asserts the pruning; a 1-D layout can't prune both)
+    "q_zorder_prune" -> ((s, dir) => {
+      val root = Scratch.dir("zorder")
+      val ev = base(s, dir)
+      // layout bounds from ONE bounded agg (they shape the clustering
+      // only — the query answer never depends on them)
+      val r = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("epoch_s")), max(col("epoch_s"))).head()
+      graft.table.Skipping.writeZOrdered(
+        ev, "user_id", r.getLong(0), r.getLong(1),
+        "epoch_s", r.getLong(2), r.getLong(3), root)
+      val t0 = 1704067200L // 2024-01-01, the events fixture epoch
+      graft.table.Skipping.readZBox(
+          s, root, "user_id", 30, 69,
+          "epoch_s", t0 + 8 * 86400, t0 + 15 * 86400 - 1)
+        ._1
+        .select("event_type", "user_id", "event_id", "epoch_s", "cents")
+    }),
+
     "q_tier_15min" -> ((s, dir) => tierAt(s, dir, 900)),
     // OPSD's third native resolution (data_sets carries 15/30/60min)
     "q_tier_30min" -> ((s, dir) => chain(tierAt(s, dir, 900).drop("mean_v"), 1800)),
@@ -478,6 +501,13 @@ object EventQueries {
   // -------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    // the zone-map-pruned box read must equal the plain box filter
+    "q_zorder_prune" ->
+      s"""SELECT event_type, user_id, event_id, epoch_s, cents FROM $EV e
+         |WHERE user_id BETWEEN 30 AND 69
+         |  AND epoch_s BETWEEN ${1704067200L + 8 * 86400}
+         |                  AND ${1704067200L + 15 * 86400 - 1}""".stripMargin,
+
     // DuckDB's native ASOF LEFT JOIN is the independent formulation of
     // the engine's union+window as-of (tolerance applied post-join)
     "q_asof_tier" ->

@@ -17,16 +17,21 @@ object RetentionQueries {
 
   private val P = s"(${Pages.oracleCte})"
 
-  /** Pipeline points (canonical page columns only: no synthetic score). */
-  private val PTS2 =
-    s"SELECT domain, 'text_chars' AS metric, epoch_s, CAST(n_chars AS DOUBLE) AS value FROM $P p1 " +
-      s"UNION ALL SELECT domain, 'bytes', epoch_s, CAST(n_chars + 26 AS DOUBLE) FROM $P p2"
-  private val T15 =
+  /** Pipeline points (canonical page columns only: no synthetic score),
+    * parametrized by the pages source so subset variants (time travel,
+    * forget) replay the same chain over a restricted corpus.
+    */
+  private def pts2Of(src: String) =
+    s"SELECT domain, 'text_chars' AS metric, epoch_s, CAST(n_chars AS DOUBLE) AS value FROM $src p1 " +
+      s"UNION ALL SELECT domain, 'bytes', epoch_s, CAST(n_chars + 26 AS DOUBLE) FROM $src p2"
+  private def t15Of(src: String) =
     s"SELECT domain, metric, epoch_s//900*900 AS bucket_ts, count(value) AS n, " +
-      s"sum(value) AS sum_v, sum(value)/count(value) AS mean_v FROM ($PTS2) pts GROUP BY 1, 2, 3"
-  private val T1H =
+      s"sum(value) AS sum_v, sum(value)/count(value) AS mean_v FROM (${pts2Of(src)}) pts GROUP BY 1, 2, 3"
+  private def t1hOf(src: String) =
     s"SELECT domain, metric, bucket_ts//3600*3600 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
-      s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM ($T15) t15 GROUP BY 1, 2, 3"
+      s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM (${t15Of(src)}) t15 GROUP BY 1, 2, 3"
+  private val T15 = t15Of(P)
+  private val T1H = t1hOf(P)
   private val T1D =
     s"SELECT domain, metric, bucket_ts//86400*86400 AS bucket_ts, CAST(sum(n) AS BIGINT) AS n, " +
       s"sum(sum_v) AS sum_v, sum(sum_v)/sum(n) AS mean_v FROM ($T1H) t1h GROUP BY 1, 2, 3"
@@ -106,6 +111,42 @@ object RetentionQueries {
       val table = buildTable(s, dir, freshRoot("resume"), failAfter = 5)
       Pipeline.readTier(s, table, "1h")
         .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+    }),
+
+    // TIME TRAVEL: pin the snapshot id after the 80% base build, merge
+    // the late 20% with applyDelta, then read the hourly tier AS OF the
+    // pinned snapshot — must equal the base-only build bitwise, even
+    // though the live table has merged the delta (copy-on-write stage
+    // dirs keep every retained snapshot's bytes immutable)
+    "q_time_travel" -> ((s, dir) => {
+      val root = freshRoot("time_travel")
+      val all = Pages.synthesize(s, dir)
+        .select("url", "warc_ts", "html", "text", "lang")
+      val late = regexp_extract(col("url"), "/p/(\\d+)$", 1)
+        .cast("long") % 5 === 4
+      val basePath = s"$root/pages"
+      Pages.writePartitioned(all.filter(!late), basePath, buckets = 16)
+      val table = new ManifestTableLayer(s"$root/table")
+      Pipeline.runRollup(s, basePath, table, Pipeline.listDays(s, basePath))
+      val pinned = table.currentSnapshotId()
+      Pipeline.applyDelta(s, all.filter(late), table)
+      table.readAt(s, pinned, "tier=1h/")
+        .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+    }),
+
+    // GDPR forget: erase two urls (one on the hot domain d0) from the raw
+    // store AND rebuild exactly the partitions they contributed to; the
+    // live hourly tier must equal a from-scratch build without those urls
+    "q_forget_url" -> ((s, dir) => {
+      val root = freshRoot("forget")
+      val table = buildTable(s, dir, root)
+      val urls = Seq(7L, 110L).map { id =>
+        val dom = if (id % 5 < 2) 0L else id % 97
+        s"https://d$dom.example/p/$id"
+      }
+      Pipeline.forgetUrls(s, s"$root/pages", table, urls)
+      Pipeline.readTier(s, table, "1h")
+        .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
     })
   )
 
@@ -117,6 +158,10 @@ object RetentionQueries {
     "q_retention_aggs" -> T1D,
     "q_checkpoint_resume" -> T1H,
     // the oracle is the FULL-corpus hourly tier — incremental must equal it
-    "q_tier_refresh" -> T1H
+    "q_tier_refresh" -> T1H,
+    // AS OF the pinned snapshot == the hourly tier of the 80% base corpus
+    "q_time_travel" -> t1hOf(s"(SELECT * FROM $P pb WHERE doc_id % 5 <> 4)"),
+    // after the forget, the live tier == a build that never saw the urls
+    "q_forget_url" -> t1hOf(s"(SELECT * FROM $P pf WHERE doc_id NOT IN (7, 110))")
   )
 }

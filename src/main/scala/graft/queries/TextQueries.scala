@@ -77,6 +77,58 @@ object TextQueries {
       TextOps.packSequences(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 512)),
 
+    // T52 deterministic global shuffle -> fixed-size training shards:
+    // md5-of-(id:seed) total order, global rank via the two-phase
+    // distributed scan (terasort shape), shard = rank div shardSize
+    "q_shuffle_shards" -> ((s, dir) =>
+      TextOps.shuffleShards(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", 32, 42)),
+
+    // T53 weighted sampling without replacement (priority sampling,
+    // u/w in 1e6 fixed point — exact integers, engine-portable); k=100
+    // by n_chars weight, planned as TakeOrderedAndProject (PlansSpec)
+    "q_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "n_chars"),
+          "doc_id", "n_chars", 100, 42)
+        .select("doc_id", "n_chars", "priority")),
+
+    // T54 group-disjoint train/val/test split: the label is a pure
+    // function of the SOURCE, so one site's near-identical docs can never
+    // straddle train and eval
+    "q_split_domains" -> ((s, dir) =>
+      TextOps.splitByGroup(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source"),
+          "source", 80, 10, 42)
+        .select("doc_id", "source", "split")),
+
+    // BLOOM-sidecar point lookup: the corpus laid out as md5-shuffled
+    // training shards (a doc's shard is order-dependent — unknowable from
+    // the key), then "which shard/position did doc X land in" answered by
+    // probing one bounded Bloom row per shard instead of scanning every
+    // shard; exact filter re-applies on the pruned scan (FPs widen the
+    // read, never the answer). SkippingSpec asserts the listing shrinks.
+    "q_bloom_lookup" -> ((s, dir) => {
+      val root = Scratch.dir("bloom_shards")
+      TextOps.shuffleShards(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", 32, 42)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$root/data")
+      graft.table.Skipping.bloomBuild(
+          s.read.parquet(s"$root/data"), "doc_id", "shard",
+          mBits = 1 << 12, nHashes = 7)
+        .write.mode("overwrite").parquet(s"$root/bloom")
+      val want = Seq(11L, 77L, 123L, 401L)
+      val parts = graft.table.Skipping.bloomLookupParts(
+        s, s"$root/bloom", want.map(_.toString))
+      s.read.parquet(s"$root/data")
+        .filter(col("shard").isin(parts: _*)) // listing pruned by the sidecar
+        .filter(col("doc_id").isin(want: _*)) // exact re-check (bloom FPs)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("pos_in_shard"))
+    }),
+
     // Exact per-language token-length quantiles by RANK SELECTION (type-1,
     // ties broken by doc_id — a total order both engines share). Exact
     // order statistics need a per-group sort; the at-scale variant is
@@ -585,6 +637,43 @@ object TextQueries {
         |  (start_tok + n_tokens - 1) // 512 AS last_chunk,
         |  (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 AS n_chunks
         |FROM c""".stripMargin,
+
+    // the same total order replayed as a plain ordered window (the oracle
+    // can afford the single-partition scan the engine must not)
+    "q_shuffle_shards" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS rk
+        |  FROM documents)
+        |SELECT doc_id, CAST(rk // 32 AS BIGINT) AS shard,
+        |  CAST(rk % 32 AS BIGINT) AS pos_in_shard FROM r""".stripMargin,
+
+    // u/w fixed-point priorities recomputed exactly; smallest 100 win
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT)
+        |    * 1000000 // n_chars AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+
+    // the sidecar-pruned lookup must equal the plain keyed filter over
+    // the same shard assignment
+    "q_bloom_lookup" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS rk
+        |  FROM documents)
+        |SELECT doc_id, CAST(rk // 32 AS BIGINT) AS shard,
+        |  CAST(rk % 32 AS BIGINT) AS pos_in_shard
+        |FROM r WHERE doc_id IN (11, 77, 123, 401)""".stripMargin,
+
+    "q_split_domains" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST('0x' || substr(md5(source || ':42'), 1, 8) AS BIGINT) % 100 < 80
+        |    THEN 'train'
+        |  WHEN CAST('0x' || substr(md5(source || ':42'), 1, 8) AS BIGINT) % 100 < 90
+        |    THEN 'val' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH toks AS (SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents),

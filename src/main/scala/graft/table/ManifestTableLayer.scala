@@ -104,6 +104,31 @@ class ManifestTableLayer(rootDir: String) extends TableLayer {
 
   override def currentPartitions(): Seq[PartitionMeta] = readSnap(currentSnapId())
 
+  /** The live snapshot id (-1 if nothing committed) — callers pin it
+    * before a mutation to time-travel back across it later.
+    */
+  def currentSnapshotId(): Long = currentSnapId()
+
+  /** TIME TRAVEL: the partition list AS OF snapshot `snapId`. Data dirs
+    * are immutable and refreshes write copy-on-write stage dirs, so every
+    * path in a retained snapshot still holds exactly its commit-time bytes
+    * until `expireSnapshots` reclaims it — the Iceberg `VERSION AS OF`
+    * read, over the same manifest chain.
+    */
+  def partitionsAt(snapId: Long): Seq[PartitionMeta] = {
+    require(Files.exists(snapPath(snapId)),
+      s"snapshot $snapId does not exist or was expired")
+    readSnap(snapId)
+  }
+
+  /** Read the table AS OF snapshot `snapId` (optionally one key prefix). */
+  def readAt(spark: SparkSession, snapId: Long, keyPrefix: String = ""): DataFrame = {
+    val parts = partitionsAt(snapId).filter(_.key.startsWith(keyPrefix))
+    require(parts.nonEmpty,
+      s"snapshot $snapId has no partitions with prefix '$keyPrefix'")
+    spark.read.parquet(parts.map(_.path): _*)
+  }
+
   override def read(spark: SparkSession): DataFrame = {
     val parts = currentPartitions()
     require(parts.nonEmpty, s"table $rootDir has no live partitions")

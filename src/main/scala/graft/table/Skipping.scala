@@ -1,0 +1,175 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-skipping layouts for the 100 TB store — the two classic sidecar
+  * indexes a lakehouse table carries beyond partitioning:
+  *
+  *  1. Z-ORDER clustering + zone maps: a single sort order can only prune
+  *     one dimension; interleaving the bits of two bucketed dimensions
+  *     (Morton order) makes contiguous file ranges TIGHT BOXES in both, so
+  *     a two-predicate box query overlaps few files (the Delta/Iceberg
+  *     `OPTIMIZE ZORDER BY` idea; Morton 1966). The z-value is PURE column
+  *     bit-arithmetic — shift/or/and, fully codegen'd, no UDF.
+  *
+  *  2. BLOOM sidecars: point lookups on a key the partitioning is NOT
+  *     aligned with (e.g. "which training shard did doc X land in" when
+  *     shards are md5-shuffle order) otherwise scan every partition. One
+  *     fixed-size Bloom filter per partition (a few KB) lets the driver
+  *     prune the listing to the partitions that MIGHT hold the key —
+  *     false positives cost one extra file read, never a wrong answer
+  *     (the exact predicate re-applies on the scanned rows).
+  *
+  * Scale shape: both sidecars are O(#partitions) rows of bounded size —
+  * they broadcast/collect safely at any data volume; builds are one
+  * distributed pass each; neither touches row data on the read path until
+  * the pruned scan.
+  */
+object Skipping {
+
+  // ------------------------------------------------------------------
+  // Z-order
+  // ------------------------------------------------------------------
+
+  /** Bucket a long column to 16 levels over [lo, hi] (codegen'd; the
+    * *16/span product stays far below 2^53, so the double division is
+    * exact enough to truncate like integer division for non-negatives).
+    */
+  private def bucket16(c: Column, lo: Long, hi: Long): Column =
+    greatest(
+      least(((c - lit(lo)) * lit(16L) / lit(hi - lo + 1L)).cast("int"), lit(15)),
+      lit(0))
+
+  /** Spread a 4-bit value's bits to the even positions of an 8-bit value
+    * (abcd -> a0b0c0d) — two shift/or/mask steps, the classic Morton
+    * bit-twiddle, as pure Column ops.
+    */
+  private def spread4(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33))
+    s1.bitwiseOR(shiftleft(s1, 1)).bitwiseAND(lit(0x55))
+  }
+
+  /** 8-bit Morton z-value of two 16-level bucketed dimensions. */
+  def zvalue(
+      a: Column, aLo: Long, aHi: Long,
+      b: Column, bLo: Long, bHi: Long
+  ): Column =
+    spread4(bucket16(a, aLo, aHi))
+      .bitwiseOR(shiftleft(spread4(bucket16(b, bLo, bHi)), 1))
+
+  /** Write `df` Z-clustered on two long dimensions: file group
+    * `zpart = z div cellsPerPart` (contiguous z-ranges -> boxes), one
+    * dir+file per zpart, plus the `zones` zone-map sidecar (per-zpart
+    * min/max of BOTH dimensions + row count). The repartition keys on
+    * zpart so each file group is written by exactly one task.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      aCol: String, aLo: Long, aHi: Long,
+      bCol: String, bLo: Long, bHi: Long,
+      path: String,
+      cellsPerPart: Int = 4
+  ): Unit = {
+    val z = zvalue(col(aCol), aLo, aHi, col(bCol), bLo, bHi)
+    val parted = df.withColumn("zpart", (z / lit(cellsPerPart)).cast("int"))
+    val pinned = parted.repartition(col("zpart")).persist()
+    try {
+      pinned.write.mode("overwrite").partitionBy("zpart").parquet(s"$path/data")
+      pinned.groupBy(col("zpart"))
+        .agg(min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
+          min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"),
+          count(lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(s"$path/zones")
+    } finally pinned.unpersist()
+  }
+
+  /** Box query over a Z-ordered store: the zone map alone (bounded —
+    * one row per file group) decides which zparts can intersect
+    * [aLo2,aHi2] x [bLo2,bHi2]; only the surviving part ids (ints) reach
+    * the driver, the scan prunes at the file listing, and the exact box
+    * predicate re-applies on the scanned rows. Returns (rows, kept parts)
+    * so callers/specs can assert the skipping actually happened.
+    */
+  def readZBox(
+      spark: SparkSession,
+      path: String,
+      aCol: String, aLo: Long, aHi: Long,
+      bCol: String, bLo: Long, bHi: Long
+  ): (DataFrame, Seq[Int]) = {
+    import spark.implicits._
+    val keep = spark.read.parquet(s"$path/zones")
+      .filter(col("a_max") >= aLo && col("a_min") <= aHi &&
+        col("b_max") >= bLo && col("b_min") <= bHi)
+      .select(col("zpart")).as[Int].collect().sorted.toSeq
+    val rows = spark.read.parquet(s"$path/data")
+      .filter(col("zpart").isin(keep: _*)) // partition pruning
+      .filter(col(aCol) >= aLo && col(aCol) <= aHi &&
+        col(bCol) >= bLo && col(bCol) <= bHi)
+    (rows, keep)
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom sidecars
+  // ------------------------------------------------------------------
+
+  /** Deterministic double-hashed probe positions (Kirsch–Mitzenmacher:
+    * k probes from two base hashes) — murmur3 with fixed seeds, so the
+    * sidecar is bitwise reproducible across runs/partitionings.
+    */
+  private def probes(key: String, mBits: Int, nHashes: Int): Iterator[Int] = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(key, 0x85ebca6b)
+    (0 until nHashes).iterator.map(i => math.floorMod(h1 + i * h2, mBits))
+  }
+
+  /** Build one fixed-size Bloom filter per `partCol` value over string
+    * keys: one distributed pass, O(mBits/8) task memory per group (keys
+    * stream through — never buffered). Returns
+    * (part, n_keys, m_bits, n_hashes, bits).
+    */
+  def bloomBuild(
+      df: DataFrame,
+      keyCol: String,
+      partCol: String,
+      mBits: Int = 1 << 15,
+      nHashes: Int = 7
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    df.select(col(partCol).cast("long"), col(keyCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (part, rows) =>
+        val bits = new Array[Byte](mBits / 8)
+        var n = 0L
+        rows.foreach { case (_, key) =>
+          n += 1
+          probes(key, mBits, nHashes).foreach { p =>
+            bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+          }
+        }
+        (part, n, mBits, nHashes, bits)
+      }
+      .toDF("part", "n_keys", "m_bits", "n_hashes", "bits")
+  }
+
+  /** Membership probe against one sidecar row's bitset. */
+  def bloomMightContain(bits: Array[Byte], mBits: Int, nHashes: Int, key: String): Boolean =
+    probes(key, mBits, nHashes).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+
+  /** The partitions that MIGHT contain any of `keys`, from the sidecar
+    * table (one bounded row per partition — safe to collect at any data
+    * volume). No false negatives; false positives only widen the scan.
+    */
+  def bloomLookupParts(spark: SparkSession, bloomPath: String, keys: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    spark.read.parquet(bloomPath)
+      .as[(Long, Long, Int, Int, Array[Byte])]
+      .collect()
+      .collect { case (part, _, m, k, bits)
+        if keys.exists(bloomMightContain(bits, m, k, _)) => part }
+      .sorted.toSeq
+  }
+}

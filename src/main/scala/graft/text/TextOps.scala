@@ -784,6 +784,118 @@ object TextOps {
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
   }
 
+  /** Deterministic global shuffle into fixed-size training shards (T52):
+    * a training run wants the corpus in pseudo-random but REPRODUCIBLE
+    * order, cut into equal shards — the data-loader layout step after
+    * dedup/filter/mix. Order key = md5 of "id:seed" (uniform, lexicographic
+    * hex compares identically on every engine), ties broken by id.
+    *
+    * Scale shape: the global rank is the SAME two-phase distributed scan
+    * as [[packSequences]] — range-partition by the hash key, local rank
+    * per partition, BOUNDED per-partition counts exclusive-scanned on the
+    * driver, offsets rejoined as a broadcast map literal. This is the
+    * terasort shape: two narrow passes, never an unpartitioned
+    * `row_number() OVER (ORDER BY ...)` single-task window. Rank depends
+    * only on the total (h, id) order, so shard assignment is bitwise
+    * partition-invariant (range boundaries move ranks between partitions,
+    * never within the order).
+    */
+  def shuffleShards(
+      docs: DataFrame,
+      idCol: String,
+      shardSize: Int,
+      seed: Int
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(shardSize > 0, "shardSize must be positive")
+    val keyed = docs
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("h", md5(concat(col("id").cast("string"), lit(s":$seed"))))
+      .repartitionByRange(col("h"), col("id"))
+      .sortWithinPartitions("h", "id")
+      .select(col("id"))
+      .as[Long]
+    def ranked = keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = 0L
+      it.map { id => val out = (pid, id, r); r += 1; out }
+    }
+    // pass 1: bounded per-partition row counts -> exclusive rank offsets
+    val partials = ranked.groupByKey(_._1)
+      .mapGroups((pid, rows) => (pid, rows.size.toLong))
+      .collect().sortBy(_._1)
+    val offsets = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }
+    val offMap = (partials.map(_._1) zip offsets.map(_._2)).toMap
+    // pass 2: local rank + broadcast offset = global rank -> shard, pos
+    val offCol = element_at(typedLit(offMap), col("pid"))
+    ranked.toDF("pid", "id", "local_rank")
+      .select(col("id").as(idCol),
+        (col("local_rank") + offCol).as("_rank"))
+      .select(col(idCol),
+        expr(s"_rank div $shardSize").as("shard"),
+        (col("_rank") % shardSize).as("pos_in_shard"))
+  }
+
+  /** Weighted sampling without replacement, fixed size k — priority
+    * sampling (Duffield–Lund–Thorup, JACM 2007): each row draws a uniform
+    * u from md5(id:seed) and is ranked by priority u/w; the k smallest
+    * priorities win, so heavier rows win proportionally more often while
+    * any fixed-size subset stays possible. The priority is computed in
+    * 1e6 FIXED POINT over exact integers (u < 2^32, so u*1e6 < 2^52 —
+    * no overflow, no libm pow/ln whose final ULP differs across engines),
+    * ties broken by id: the selected set is bitwise reproducible on every
+    * engine/run/partitioning.
+    *
+    * Scale shape: `orderBy(priority).limit(k)` plans
+    * TakeOrderedAndProject — a bounded top-k heap per partition + one
+    * k-sized driver merge, never a global sort.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Int
+  ): DataFrame = {
+    val u = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 8),
+      16, 10).cast("long")
+    df.filter(col(weightCol) > 0)
+      .withColumn("_u", u)
+      .withColumn("priority", expr(s"_u * 1000000 div $weightCol"))
+      .drop("_u")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
+  /** Group-disjoint train/val/test split: the split label is a pure
+    * function of the GROUP (md5 bucket of the source/domain), never the
+    * row — every document of one source lands in the SAME split, so
+    * near-identical content from one site can never leak from train into
+    * eval (the contamination mode a row-wise split invites). Scan-side
+    * projection, zero shuffles, reproducible on every engine/partitioning.
+    */
+  def splitByGroup(
+      df: DataFrame,
+      groupCol: String,
+      pctTrain: Int,
+      pctVal: Int,
+      seed: Int
+  ): DataFrame = {
+    require(pctTrain + pctVal < 100, "train+val must leave room for test")
+    val bucket = pmod(
+      conv(substring(md5(concat(col(groupCol), lit(s":$seed"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(100L))
+    df.withColumn("split",
+      when(bucket < pctTrain, "train")
+        .when(bucket < pctTrain + pctVal, "val")
+        .otherwise("test"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

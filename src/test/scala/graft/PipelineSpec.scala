@@ -232,4 +232,106 @@ class PipelineSpec extends AnyFunSuite {
     graft.retention.Retention.expire(t2, keepLast = 1)
     assert(Pipeline.readTier(spark, t2, "15min").count() > 0)
   }
+
+  test("forgetUrls: erased everywhere, untouched buckets byte-stable, pinned snapshot time-travels") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pipe-forget-").toString
+    val all = Pages.synthesize(spark, SparkTestSession.sf0001)
+      .select("url", "warc_ts", "html", "text", "lang")
+    Pages.writePartitioned(all, s"$base/pages", buckets = 8)
+    val t = new ManifestTableLayer(s"$base/table")
+    Pipeline.runRollup(spark, s"$base/pages", t,
+      Pipeline.listDays(spark, s"$base/pages"), chunkMaxPoints = 128)
+    // d7.example is contributed by doc 7 ALONE at sf0.001; d0 is the hot
+    // domain with many other contributors
+    val urls = Seq("https://d7.example/p/7", "https://d0.example/p/5")
+    val touchedBuckets = spark.read.parquet(s"$base/pages")
+      .filter(col("url").isin(urls: _*))
+      .select("bucket").distinct().as[Int].collect().toSet
+    val untouched = (0 until 8).filterNot(touchedBuckets).head
+    def listing(b: Int): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(s"$base/pages/bucket=$b"))
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => (p.toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis))
+        .toSeq.sortBy(_._1)
+      finally walk.close()
+    }
+    val before = listing(untouched)
+    val pinned = t.currentSnapshotId()
+    val (rebuilt, dropped) = Pipeline.forgetUrls(
+      spark, s"$base/pages", t, urls, buckets = 8, chunkMaxPoints = 128)
+    assert(dropped.isEmpty && rebuilt.size == 7)
+    // raw: the urls are gone, other buckets never rewritten
+    assert(spark.read.parquet(s"$base/pages")
+      .filter(col("url").isin(urls: _*)).count() == 0)
+    assert(listing(untouched) == before,
+      "untouched bucket partitions must not be rewritten")
+    // every tier equals a from-scratch build that never saw the urls
+    Pages.writePartitioned(all.filter(!col("url").isin(urls: _*)),
+      s"$base/pagesClean", buckets = 8)
+    val tClean = new ManifestTableLayer(s"$base/tableClean")
+    Pipeline.runRollup(spark, s"$base/pagesClean", tClean,
+      Pipeline.listDays(spark, s"$base/pagesClean"), chunkMaxPoints = 128)
+    val cols = Seq("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v").map(col)
+    for ((tier, _) <- Pipeline.Tiers) {
+      val got = Pipeline.readTier(spark, t, tier).select(cols: _*)
+      val want = Pipeline.readTier(spark, tClean, tier).select(cols: _*)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"$tier tier must equal a build without the forgotten urls")
+    }
+    // the chunk store decodes to the clean build's points
+    def decoded(tb: ManifestTableLayer) = {
+      val parts = tb.currentPartitions().filter(_.key.startsWith("chunks-15min/"))
+      ChunkWriter.decode(spark.read.parquet(parts.map(_.path): _*)
+          .as[ChunkWriter.FlatChunk])
+        .select("series_flat", "ts", "value")
+    }
+    assert(decoded(t).except(decoded(tClean)).isEmpty &&
+      decoded(tClean).except(decoded(t)).isEmpty)
+    // the pinned pre-forget snapshot still reads doc 7's observations on
+    // d7.example (docs 104/298/492 keep the domain alive, so the LIVE
+    // tier carries strictly fewer observations, not zero)
+    def d7Obs(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("domain") === "d7.example")
+        .agg(sum(col("n"))).head().getLong(0)
+    val old15 = t.readAt(spark, pinned, "tier=15min/")
+    assert(d7Obs(old15) > d7Obs(Pipeline.readTier(spark, t, "15min")),
+      "time travel must still see the pre-forget observations")
+  }
+
+  test("forgetUrls deletes fully-emptied raw partitions and drops emptied days") {
+    import java.sql.Timestamp
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pipe-forget2-").toString
+    def row(url: String, day: Int): (String, Timestamp, Array[Byte], String, String) =
+      (url, Timestamp.from(java.time.Instant.parse(f"2024-02-0$day%dT06:00:00Z")),
+        "<html>x</html>".getBytes("UTF-8"), "x", "en")
+    // urlA on days 1+2, urlB on days 2+3: forgetting A empties day 1
+    val urlA = "https://a.example/p/1"
+    val urlB = "https://b.example/p/2"
+    val pages = Seq(row(urlA, 1), row(urlA, 2), row(urlB, 2), row(urlB, 3))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    Pages.writePartitioned(pages, s"$base/pages", buckets = 4)
+    val t = new ManifestTableLayer(s"$base/table")
+    Pipeline.runRollup(spark, s"$base/pages", t,
+      Pipeline.listDays(spark, s"$base/pages"), chunkMaxPoints = 128)
+    val (rebuilt, droppedDays) = Pipeline.forgetUrls(
+      spark, s"$base/pages", t, Seq(urlA), buckets = 4, chunkMaxPoints = 128)
+    assert(droppedDays == Seq("2024-02-01") && rebuilt == Seq("2024-02-02"))
+    // the emptied (bucket, day) partitions are physically gone from raw
+    assert(spark.read.parquet(s"$base/pages")
+      .filter(col("url") === urlA).count() == 0)
+    // the emptied day's tier/chunk/index partitions are dropped, day 3 intact
+    val keys = t.currentPartitions().map(_.key)
+    assert(!keys.exists(_.endsWith("/day=2024-02-01")))
+    assert(keys.exists(_.endsWith("/day=2024-02-03")))
+    // day 2 recomputed: only urlB's contribution remains
+    assert(Pipeline.readTier(spark, t, "15min")
+      .filter(col("domain") === "a.example").count() == 0)
+    // urlB: 2 surviving visits x 2 metrics (text_chars, bytes)
+    assert(Pipeline.readTier(spark, t, "15min")
+      .filter(col("domain") === "b.example").count() == 4)
+  }
 }

