@@ -47,6 +47,37 @@ object RelationalQueries {
         .withColumn("avg_price",
           col("sum_base_cents").cast("double") / col("n") / lit(100.0))),
 
+    // CO-LOCATED join via bucketing: both sides bucketBy(8) on the join
+    // key, so the sort-merge join plans with ZERO exchanges (PlansSpec
+    // asserts it with broadcast disabled). At 100 TB this is the shuffle
+    // every repeated fact-to-fact join stops paying once the store is
+    // bucketed — the same layout decision the pages store makes with
+    // url-hash buckets. repartition(8, key) before the write uses the
+    // same murmur3 hash as the bucket spec, so each bucket is exactly
+    // one file and the sortBy order survives for the merge.
+    "q_bucketed_join" -> ((s, dir) => {
+      val root = Scratch.dir("bucketed")
+      s.sql("DROP TABLE IF EXISTS g_orders_bkt")
+      s.sql("DROP TABLE IF EXISTS g_lineitem_bkt")
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$root/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_orders_bkt")
+      li(s, dir).select(col("l_orderkey"), col("cents"), col("disc"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$root/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("g_lineitem_bkt")
+      s.table("g_lineitem_bkt")
+        .join(s.table("g_orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cents") * (lit(100L) - col("disc"))).as("revenue_e4"),
+          count(lit(1)).as("n"))
+    }),
+
     // star join: revenue by region/nation; nation+region are broadcast
     "q_region_revenue" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -90,6 +121,13 @@ object RelationalQueries {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    // the physically co-located join must equal the plain shuffled join
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(sum(cents * (100 - disc)) AS BIGINT) AS revenue_e4, count(*) AS n
+         |FROM $LI l JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin
   )
 }

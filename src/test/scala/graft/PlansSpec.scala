@@ -127,6 +127,76 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample plans TakeOrderedAndProject; splitByGroup and zvalue are shuffle-free projections") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val ws = graft.text.TextOps.weightedSample(docs, "doc_id", "n_chars", 50, 42)
+    val wsPlan = ws.queryExecution.executedPlan.toString
+    assert(wsPlan.contains("TakeOrderedAndProject"),
+      s"weighted sample should plan per-partition heaps + driver merge:\n$wsPlan")
+    // split + z-value: scan-side projections, zero exchanges
+    for (df <- Seq(
+        graft.text.TextOps.splitByGroup(docs, "source", 80, 10, 42),
+        docs.select(graft.table.Skipping.zvalue(
+          col("doc_id"), 0, 499, col("n_chars"), 0, 4096)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"should be shuffle-free:\n$plan")
+      // "*(n)" prefixes mark whole-stage-codegen'd operators
+      assert(plan.contains("*(1) Project"), s"should codegen:\n$plan")
+    }
+  }
+
+  test("bucketed tables co-locate the join: sort-merge with zero exchanges") {
+    // build + register the bucketed tables through the query itself
+    graft.queries.RelationalQueries.queries("q_bucketed_join")(
+      spark, SparkTestSession.sf0001).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("g_lineitem_bkt")
+        .join(spark.table("g_orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a skewed join partition at runtime (the join-side answer to salting)") {
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // thresholds scaled down so the zipf head is "skewed" at test volume
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 90% of the fact rows share one key — the hot-domain shape
+      val fact = spark.range(200000).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(20000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = fact.join(dim, "k")
+      // key 0 matches 180k fact rows; the id-keyed 10% match for id < 20000
+      // (ids = 9, 19, ..., 19999 -> 2000 rows). collect() (not count) so
+      // THIS plan finalizes under AQE
+      assert(j.collect().length == 182000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the hot partition:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("paragraphDedup plans hash joins + partial aggs, never a nested loop") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
