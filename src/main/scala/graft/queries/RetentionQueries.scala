@@ -134,6 +134,31 @@ object RetentionQueries {
         .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
     }),
 
+    // SNAPSHOT DIFF / CDC read: the row-level changes between a pinned
+    // snapshot and the live table — the audit/changelog read an
+    // incrementally-maintained store owes its consumers (what did the
+    // late batch actually change?). Distributed set difference both
+    // ways over the hourly tier; at scale the two sides are partition-
+    // pruned to the touched days before the except shuffles anything.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val root = freshRoot("snap_diff")
+      val all = Pages.synthesize(s, dir)
+        .select("url", "warc_ts", "html", "text", "lang")
+      val late = regexp_extract(col("url"), "/p/(\\d+)$", 1)
+        .cast("long") % 5 === 4
+      val basePath = s"$root/pages"
+      Pages.writePartitioned(all.filter(!late), basePath, buckets = 16)
+      val table = new ManifestTableLayer(s"$root/table")
+      Pipeline.runRollup(s, basePath, table, Pipeline.listDays(s, basePath))
+      val pinned = table.currentSnapshotId()
+      Pipeline.applyDelta(s, all.filter(late), table)
+      val cols = Seq("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+      val before = table.readAt(s, pinned, "tier=1h/").select(cols.map(col): _*)
+      val after = Pipeline.readTier(s, table, "1h").select(cols.map(col): _*)
+      after.except(before).withColumn("change", lit("added"))
+        .unionByName(before.except(after).withColumn("change", lit("removed")))
+    }),
+
     // GDPR forget: erase two urls (one on the hot domain d0) from the raw
     // store AND rebuild exactly the partitions they contributed to; the
     // live hourly tier must equal a from-scratch build without those urls
@@ -161,6 +186,13 @@ object RetentionQueries {
     "q_tier_refresh" -> T1H,
     // AS OF the pinned snapshot == the hourly tier of the 80% base corpus
     "q_time_travel" -> t1hOf(s"(SELECT * FROM $P pb WHERE doc_id % 5 <> 4)"),
+    // the delta's row-level changelog: (full EXCEPT base) + (base EXCEPT full)
+    "q_snapshot_diff" ->
+      s"""WITH fullt AS (${t1hOf(P)}),
+         |baset AS (${t1hOf(s"(SELECT * FROM $P pb WHERE doc_id % 5 <> 4)")})
+         |SELECT *, 'added' AS change FROM (SELECT * FROM fullt EXCEPT SELECT * FROM baset) a
+         |UNION ALL
+         |SELECT *, 'removed' AS change FROM (SELECT * FROM baset EXCEPT SELECT * FROM fullt) r""".stripMargin,
     // after the forget, the live tier == a build that never saw the urls
     "q_forget_url" -> t1hOf(s"(SELECT * FROM $P pf WHERE doc_id NOT IN (7, 110))")
   )

@@ -809,6 +809,15 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     require(shardSize > 0, "shardSize must be positive")
+    // one range shuffle + in-partition sort fixes the md5 total order
+    // (pinned so the count pass and the rank pass share one execution);
+    // the global rank comes from RDD.zipWithIndex — the classic two-phase
+    // scan (bounded per-partition counts -> exclusive offsets), with the
+    // offsets carried in the Partition OBJECTS rather than read off
+    // TaskContext, so ranks survive cache sharing across queries, AQE
+    // re-planning, and a downstream coalesce collapsing task identity
+    // (a TaskContext.getPartitionId()-keyed offset map does not: under
+    // coalesce(1) every parent partition reports pid 0)
     val keyed = docs
       .select(col(idCol).cast("long").as("id"))
       .withColumn("h", md5(concat(col("id").cast("string"), lit(s":$seed"))))
@@ -816,24 +825,9 @@ object TextOps {
       .sortWithinPartitions("h", "id")
       .select(col("id"))
       .as[Long]
-    def ranked = keyed.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var r = 0L
-      it.map { id => val out = (pid, id, r); r += 1; out }
-    }
-    // pass 1: bounded per-partition row counts -> exclusive rank offsets
-    val partials = ranked.groupByKey(_._1)
-      .mapGroups((pid, rows) => (pid, rows.size.toLong))
-      .collect().sortBy(_._1)
-    val offsets = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
-      (pid, acc + n)
-    }
-    val offMap = (partials.map(_._1) zip offsets.map(_._2)).toMap
-    // pass 2: local rank + broadcast offset = global rank -> shard, pos
-    val offCol = element_at(typedLit(offMap), col("pid"))
-    ranked.toDF("pid", "id", "local_rank")
-      .select(col("id").as(idCol),
-        (col("local_rank") + offCol).as("_rank"))
+      .persist()
+    keyed.rdd.zipWithIndex()
+      .toDF(idCol, "_rank")
       .select(col(idCol),
         expr(s"_rank div $shardSize").as("shard"),
         (col("_rank") % shardSize).as("pos_in_shard"))

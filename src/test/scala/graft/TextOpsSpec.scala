@@ -253,7 +253,19 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val last = sizes.keys.max
     assert(sizes.filter(_._1 != last).values.forall(_ == 8L))
-    // the order really is the md5 order (spot-check adjacent pair)
+    // the order really is the md5 order, verified independently
+    import java.security.MessageDigest
+    def md5hex(x: String) = MessageDigest.getInstance("MD5").digest(x.getBytes)
+      .map("%02x".format(_)).mkString
+    val wantRank = docs.select("doc_id").as[Long].collect()
+      .sortBy(id => (md5hex(s"$id:42"), id)).zipWithIndex.toMap
+    shard(docs).collect().foreach { r =>
+      assert(r.getLong(1) * 8 + r.getLong(2) == wantRank(r.getLong(0)))
+    }
+    // ranks survive a downstream coalesce(1) — the Verify write shape
+    // that breaks any TaskContext-keyed offset map (all pids collapse
+    // to 0 inside the coalesced task)
+    assert(shard(docs).coalesce(1).collect().toSet == a)
     val plan = shard(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"sharding must not plan a window:\n$plan")
