@@ -86,6 +86,31 @@ object SimQueries {
         .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
     }),
 
+    // T51s STREAMING index append: the late third of the corpus lands as
+    // 3 parquet files, a file stream drains them one micro-batch each
+    // through the replay-safe staged append, then the probe runs over
+    // base + streamed cells — must equal the batch-appended index
+    "q_stream_ivf_append" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val root = Scratch.dir("ivf_stream")
+      val path = s"$root/index"
+      Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", path, nCentroids = 20)
+      val late = emb.filter(col("vec_id") % 3 === 0)
+      (0 until 3).foreach { i =>
+        late.filter(pmod(col("vec_id"), lit(9)) === i * 3)
+          .coalesce(1).write.mode("append").parquet(s"$root/landing")
+      }
+      graft.streaming.StreamingAnn.appendVectorsStream(
+        s, s"$root/landing", path, s"$root/ckpt",
+        "vec_id", "embedding", maxFilesPerTrigger = 1)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Ann.ivfTopKIndexed(s, path, "vec_id", "embedding", qv,
+          excludeId = 0L, k = 10, nProbe = 4)
+        .select(col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
+    }),
+
     // batched ANN: 3 queries against the corpus in one pass, per-query
     // top-k via salted two-phase ranking (no per-query single task)
     "q_ann_batch" -> ((s, dir) => {
@@ -493,6 +518,9 @@ object SimQueries {
     // append-maintained index == assignment of the FULL corpus to the
     // base-trained dump (what the cells dir now physically contains)
     "q_ann_ivf_append" -> ivfSqlFromDump(s"${Scratch.dir("ivf_append")}/centroids"),
+    // the STREAM-maintained index must converge to the same truth
+    "q_stream_ivf_append" ->
+      ivfSqlFromDump(s"${Scratch.dir("ivf_stream")}/index/centroids"),
 
     // batched IVF: same assignment CTEs, per-query probes + per-query rank
     "q_ann_ivf_batch" ->

@@ -506,6 +506,68 @@ object Ann {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** REPLAY-SAFE index append for the streaming ingest path: a plain
+    * `mode("append")` duplicates rows when a micro-batch is redelivered
+    * (at-least-once foreachBatch). This variant stages the batch's cell
+    * files under `staging/batch-<id>` (overwrite — a replay rewrites the
+    * same staging dir) and then MOVES each file into its cell partition
+    * under a DETERMINISTIC per-batch name (`b<id>-<file>`), replacing any
+    * half-moved leftovers — so replaying a batch converges to exactly one
+    * copy of its rows no matter where the previous attempt died.
+    */
+  def appendToIvfIndexIdempotent(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      batchId: Long
+  ): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val spark = vectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centRows = cents.select(col("_cell"), col("_cv")).collect()
+    val staging = Paths.get(s"$path/staging/batch-$batchId")
+    ivfAssignRows(vectors, idCol, vecCol, centRows,
+        cents.schema("_cv").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val cellDirs = {
+      val ls = Files.list(staging)
+      try ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("cell="))
+        .toSeq
+      finally ls.close()
+    }
+    cellDirs.foreach { cd =>
+      val target = Paths.get(s"$path/cells").resolve(cd.getFileName.toString)
+      Files.createDirectories(target)
+      // purge THIS batch's files from a previous (crashed) attempt first —
+      // part-file names embed a per-job uuid, so a replay's moves would
+      // otherwise coexist with the earlier attempt's instead of replacing
+      val old = Files.list(target)
+      try old.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"b$batchId-"))
+        .toSeq.foreach(Files.delete)
+      finally old.close()
+      val ls = Files.list(cd)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.foreach { f =>
+          Files.move(f, target.resolve(s"b$batchId-${f.getFileName}"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      finally ls.close()
+    }
+    // staging leftovers (crc files, _SUCCESS) — safe to drop now; a crash
+    // before this point leaves them for the replay's overwrite to reuse
+    val walk = Files.walk(staging)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
+  }
+
   /** Probe a materialized IVF index: nearest `nProbe` cells are computed
     * from the tiny centroid table alone, then ONLY those cell partitions
     * are scanned (`cell isin probes` prunes at the file listing).

@@ -339,6 +339,58 @@ class AnnSpec extends AnyFunSuite {
       s"top-10 should mix base and appended vectors, got $got")
   }
 
+  test("streaming IVF append: replay-idempotent batches, drain == batch append, restart picks up only new files") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    val root = "/root/repo/target/test_tmp/ivf_stream_spec"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val path = s"$root/index"
+    Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", path, nCentroids = 20)
+    val baseCount = spark.read.parquet(s"$path/cells").count()
+
+    // replay idempotence: the same batch applied twice lands ONE copy
+    val wave = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+    Ann.appendToIvfIndexIdempotent(wave, "vec_id", "embedding", path, 7L)
+    Ann.appendToIvfIndexIdempotent(wave, "vec_id", "embedding", path, 7L)
+    val cells1 = spark.read.parquet(s"$path/cells")
+    assert(cells1.count() == baseCount + wave.count(),
+      "a replayed batch must not duplicate rows")
+    assert(cells1.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+
+    // drain the remaining waves via the stream (1 file per micro-batch)
+    (1 until 3).foreach { i =>
+      emb.filter(pmod(col("vec_id"), lit(9)) === i * 3)
+        .coalesce(1).write.mode("append").parquet(s"$root/landing")
+    }
+    graft.streaming.StreamingAnn.appendVectorsStream(
+      spark, s"$root/landing", path, s"$root/ckpt",
+      "vec_id", "embedding", maxFilesPerTrigger = 1)
+    val cells2 = spark.read.parquet(s"$path/cells")
+    assert(cells2.count() == emb.count(), "index must now hold every vector once")
+    // assignment identical to a from-scratch assignment vs the same dump
+    val rebuilt = Ann.ivfAssign(emb, "vec_id", "embedding",
+      spark.read.parquet(s"$path/centroids")).select("vec_id", "cell")
+    val stored = cells2.select(col("vec_id"), col("cell").cast("long").as("cell"))
+    assert(stored.except(rebuilt).isEmpty && rebuilt.except(stored).isEmpty)
+
+    // restart with the same checkpoint: only files landed SINCE are read
+    emb.filter(col("vec_id") === 1L)
+      .coalesce(1).write.mode("append").parquet(s"$root/landing")
+    graft.streaming.StreamingAnn.appendVectorsStream(
+      spark, s"$root/landing", path, s"$root/ckpt",
+      "vec_id", "embedding", maxFilesPerTrigger = 1)
+    val cells3 = spark.read.parquet(s"$path/cells")
+    assert(cells3.count() == emb.count() + 1,
+      "resume must process exactly the newly-landed file")
+    assert(cells3.filter(col("vec_id") === 1L).count() == 2)
+  }
+
   test("residual-PQ ADC beats raw-PQ at equal m/nCodes (mean recall@10 vs plain IVF)") {
     import graft.sim.Ann
     val emb = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
