@@ -113,6 +113,31 @@ object EventQueries {
         .select("event_type", "user_id", "event_id", "epoch_s", "cents")
     }),
 
+    // Z-ORDER APPEND maintenance: the store is built from the first two
+    // weeks, the rest lands via appendZOrdered (appended files + a
+    // driver-side widen of the bounded zone map — old files never
+    // rewritten, SkippingSpec asserts byte-stability); the box read
+    // straddles the append cut so the answer mixes base + appended rows
+    "q_zorder_append" -> ((s, dir) => {
+      val root = Scratch.dir("zorder_app")
+      val ev = base(s, dir)
+      val t0 = 1704067200L
+      val cut = t0 + 15 * 86400
+      val r = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("epoch_s")), max(col("epoch_s"))).head()
+      graft.table.Skipping.writeZOrdered(
+        ev.filter(col("epoch_s") < cut), "user_id", r.getLong(0), r.getLong(1),
+        "epoch_s", r.getLong(2), r.getLong(3), root)
+      graft.table.Skipping.appendZOrdered(
+        ev.filter(col("epoch_s") >= cut), "user_id", r.getLong(0), r.getLong(1),
+        "epoch_s", r.getLong(2), r.getLong(3), root)
+      graft.table.Skipping.readZBox(
+          s, root, "user_id", 30, 69,
+          "epoch_s", t0 + 12 * 86400, t0 + 20 * 86400 - 1)
+        ._1
+        .select("event_type", "user_id", "event_id", "epoch_s", "cents")
+    }),
+
     "q_tier_15min" -> ((s, dir) => tierAt(s, dir, 900)),
     // OPSD's third native resolution (data_sets carries 15/30/60min)
     "q_tier_30min" -> ((s, dir) => chain(tierAt(s, dir, 900).drop("mean_v"), 1800)),
@@ -501,6 +526,13 @@ object EventQueries {
   // -------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    // the append-maintained store answers the straddling box identically
+    "q_zorder_append" ->
+      s"""SELECT event_type, user_id, event_id, epoch_s, cents FROM $EV e
+         |WHERE user_id BETWEEN 30 AND 69
+         |  AND epoch_s BETWEEN ${1704067200L + 12 * 86400}
+         |                  AND ${1704067200L + 20 * 86400 - 1}""".stripMargin,
+
     // the zone-map-pruned box read must equal the plain box filter
     "q_zorder_prune" ->
       s"""SELECT event_type, user_id, event_id, epoch_s, cents FROM $EV e

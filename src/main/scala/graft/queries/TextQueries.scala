@@ -104,6 +104,47 @@ object TextQueries {
           "source", 80, 10, 42)
         .select("doc_id", "source", "split")),
 
+    // T60 DYNAMIC quality gate: keep docs at or above their language's
+    // exact p25 token length — thresholds ADAPT to each language's own
+    // distribution instead of one global constant (short-doc languages
+    // aren't wiped out by an absolute cutoff). Same type-1 rank-selection
+    // quantile as q_quantiles; thresholds are one bounded row per lang
+    "q_quality_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val ranked = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      val th = ranked.groupBy(col("lang"))
+        .agg(max(when(col("rn") === greatest(lit(1), ceil(col("cnt") * 0.25)),
+          col("n_tokens"))).as("p25"))
+      d.join(broadcast(th), Seq("lang"))
+        .filter(col("n_tokens") >= col("p25"))
+        .select("doc_id", "lang", "n_tokens", "p25")
+    }),
+
+    // T61 length-bucketed batch packing (dynamic batching): docs batch
+    // with similar-length peers (64-token buckets) so padding waste is
+    // bounded; within a bucket, batch membership follows the md5 shuffle
+    // order — deterministic on any engine/partitioning
+    "q_length_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .withColumn("len_bucket", expr("n_tokens div 64"))
+      val w = Window.partitionBy(col("len_bucket"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":42"))),
+          col("doc_id"))
+      d.withColumn("rn", row_number().over(w) - 1)
+        .select(col("doc_id"), col("n_tokens"), col("len_bucket"),
+          expr("rn div 16").as("batch_in_bucket"),
+          (col("rn") % 16).as("pos_in_batch"))
+    }),
+
     // BLOOM-sidecar point lookup: the corpus laid out as md5-shuffled
     // training shards (a doc's shard is order-dependent — unknowable from
     // the key), then "which shard/position did doc X land in" answered by
@@ -655,6 +696,28 @@ object TextQueries {
         |    * 1000000 // n_chars AS priority
         |FROM documents WHERE n_chars > 0
         |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+
+    // per-language type-1 p25 threshold replayed, gate re-applied
+    "q_quality_gate" ->
+      s"""WITH d AS (SELECT lang, doc_id, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS cnt FROM d),
+         |th AS (SELECT lang,
+         |    CAST(max(CASE WHEN rn = greatest(1, ceil(cnt * 0.25)) THEN n_tokens END) AS INT) AS p25
+         |  FROM r GROUP BY 1)
+         |SELECT doc_id, d.lang, n_tokens, p25 FROM d JOIN th ON d.lang = th.lang
+         |WHERE n_tokens >= p25""".stripMargin,
+
+    // same 64-token buckets + md5 order; batch arithmetic replayed
+    "q_length_batches" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, n_tokens, CAST(n_tokens // 64 AS INT) AS len_bucket,
+         |    row_number() OVER (PARTITION BY n_tokens // 64
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS rn
+         |  FROM d)
+         |SELECT doc_id, n_tokens, len_bucket,
+         |  CAST(rn // 16 AS INT) AS batch_in_bucket,
+         |  CAST(rn % 16 AS INT) AS pos_in_batch FROM r""".stripMargin,
 
     // the sidecar-pruned lookup must equal the plain keyed filter over
     // the same shard assignment

@@ -84,6 +84,47 @@ object Skipping {
     } finally pinned.unpersist()
   }
 
+  /** Append NEW rows to a Z-ordered store without rewriting it: the new
+    * rows land as appended files in their zpart dirs (same z derivation,
+    * so the box semantics are unchanged) and the zone map is widened by a
+    * driver-side merge — the sidecar is O(#partitions) bounded, so the
+    * merge never needs a distributed job. Untouched data files are never
+    * listed or rewritten (SkippingSpec asserts byte-stability). Appends
+    * can only WIDEN zones; reclustering tightness is restored by a
+    * rewrite, the same economics as IVF retrain-on-drift.
+    */
+  def appendZOrdered(
+      df: DataFrame,
+      aCol: String, aLo: Long, aHi: Long,
+      bCol: String, bLo: Long, bHi: Long,
+      path: String,
+      cellsPerPart: Int = 4
+  ): Unit = {
+    val spark = df.sparkSession
+    val z = zvalue(col(aCol), aLo, aHi, col(bCol), bLo, bHi)
+    val parted = df.withColumn("zpart", (z / lit(cellsPerPart)).cast("int"))
+    val pinned = parted.repartition(col("zpart")).persist()
+    try {
+      pinned.write.mode("append").partitionBy("zpart").parquet(s"$path/data")
+      val fresh = pinned.groupBy(col("zpart"))
+        .agg(min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
+          min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"),
+          count(lit(1)).as("rows"))
+        .collect()
+      val stored = spark.read.parquet(s"$path/zones").collect()
+      val merged = (stored ++ fresh)
+        .groupBy(_.getInt(0)).map { case (zp, rows) =>
+          (zp,
+            rows.map(_.getLong(1)).min, rows.map(_.getLong(2)).max,
+            rows.map(_.getLong(3)).min, rows.map(_.getLong(4)).max,
+            rows.map(_.getLong(5)).sum)
+        }.toSeq
+      import spark.implicits._
+      merged.toDF("zpart", "a_min", "a_max", "b_min", "b_max", "rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/zones")
+    } finally pinned.unpersist()
+  }
+
   /** Box query over a Z-ordered store: the zone map alone (bounded —
     * one row per file group) decides which zparts can intersect
     * [aLo2,aHi2] x [bLo2,bHi2]; only the surviving part ids (ints) reach
@@ -158,6 +199,48 @@ object Skipping {
   /** Membership probe against one sidecar row's bitset. */
   def bloomMightContain(bits: Array[Byte], mBits: Int, nHashes: Int, key: String): Boolean =
     probes(key, mBits, nHashes).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+
+  /** Bloom union: two filters over the same (mBits, nHashes) config OR
+    * together into the filter of the UNION of their key sets — the
+    * property that makes the sidecar maintainable under append without
+    * re-reading old keys.
+    */
+  def bloomMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length, "bloom bitsets must share mBits")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
+  }
+
+  /** Append new keys to an existing Bloom sidecar: one distributed pass
+    * builds per-partition filters for JUST the new rows (same config as
+    * the stored sidecar), then the bounded sidecar rows merge driver-side
+    * by bitwise OR — old keys are never re-read.
+    */
+  def bloomAppend(df: DataFrame, keyCol: String, partCol: String, bloomPath: String): Unit = {
+    val spark = df.sparkSession
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getAs[Array[Byte]](4)))
+    }.toMap
+    val stored = asMap(spark.read.parquet(bloomPath).collect())
+    require(stored.nonEmpty, s"no sidecar at $bloomPath to append to")
+    val (_, mBits, nHashes, _) = stored.values.head
+    val fresh = asMap(bloomBuild(df, keyCol, partCol, mBits, nHashes).collect())
+    val merged = (stored.keySet ++ fresh.keySet).toSeq.sorted.map { part =>
+      (stored.get(part), fresh.get(part)) match {
+        case (Some((n1, m, k, b1)), Some((n2, _, _, b2))) =>
+          (part, n1 + n2, m, k, bloomMerge(b1, b2))
+        case (Some((n, m, k, b)), None) => (part, n, m, k, b)
+        case (None, Some((n, m, k, b))) => (part, n, m, k, b)
+        case _ => sys.error("unreachable: part came from one of the sets")
+      }
+    }
+    import spark.implicits._
+    merged.toDF("part", "n_keys", "m_bits", "n_hashes", "bits")
+      .coalesce(1).write.mode("overwrite").parquet(bloomPath)
+  }
 
   /** The partitions that MIGHT contain any of `keys`, from the sidecar
     * table (one bounded row per partition — safe to collect at any data

@@ -58,6 +58,64 @@ class SkippingSpec extends AnyFunSuite {
     assert(needle.count() == 1 && keptN.size <= 2)
   }
 
+  test("appendZOrdered: base files byte-stable, zones widened, straddling box correct") {
+    import scala.jdk.CollectionConverters._
+    val root = tmp("skip-zapp-")
+    val grid = spark.range(64 * 64)
+      .select((col("id") / 64).cast("long").as("a"),
+        (col("id") % 64).cast("long").as("b"))
+    Skipping.writeZOrdered(grid.filter(col("a") < 32), "a", 0, 63, "b", 0, 63, root)
+    def files() = {
+      val w = Files.walk(Paths.get(s"$root/data"))
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .filter(_.getFileName.toString.contains("part-"))
+        .map(f => (f.toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis)).toSet
+      finally w.close()
+    }
+    val before = files()
+    Skipping.appendZOrdered(grid.filter(col("a") >= 32), "a", 0, 63, "b", 0, 63, root)
+    assert(before.subsetOf(files()), "append must not rewrite base files")
+    assert(files().size > before.size)
+    // zone map covers both halves; row counts merged
+    val zones = spark.read.parquet(s"$root/zones")
+    assert(zones.agg(sum(col("rows"))).head().getLong(0) == 64L * 64)
+    // a box straddling the append cut answers exactly
+    val (rows, kept) = Skipping.readZBox(spark, root, "a", 24, 39, "b", 8, 23)
+    val got = rows.select("a", "b").as[(Long, Long)].collect().toSet
+    val want = (for (a <- 24L to 39L; b <- 8L to 23L) yield (a, b)).toSet
+    assert(got == want)
+    assert(kept.size < 64, s"still skipping after append, kept ${kept.size}")
+  }
+
+  test("bloomAppend: union by OR — no false negatives over old+new keys, new partitions join the sidecar") {
+    val root = tmp("skip-bapp-")
+    val df = spark.range(200)
+      .select(col("id").cast("string").as("key"), (col("id") % 10).as("part"))
+    Skipping.bloomBuild(df, "key", "part", mBits = 1 << 12, nHashes = 7)
+      .write.parquet(s"$root/bloom")
+    // appended keys: some land in existing partitions, some in a NEW one
+    val extra = spark.range(200, 260)
+      .select(col("id").cast("string").as("key"),
+        when(col("id") < 230, col("id") % 10).otherwise(lit(10L)).as("part"))
+    Skipping.bloomAppend(extra, "key", "part", s"$root/bloom")
+    val blooms = spark.read.parquet(s"$root/bloom").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4))))
+      .toMap
+    assert(blooms.size == 11 && blooms(10L)._1 == 30)
+    // old keys still pass (the OR can only ADD bits), new keys pass too
+    (0L until 230L).foreach { id =>
+      val (_, m, k, bits) = blooms(id % 10)
+      assert(Skipping.bloomMightContain(bits, m, k, id.toString),
+        s"false negative for $id after append")
+    }
+    (230L until 260L).foreach { id =>
+      val (_, m, k, bits) = blooms(10L)
+      assert(Skipping.bloomMightContain(bits, m, k, id.toString))
+    }
+  }
+
   test("bloom sidecar: no false negatives, bounded false positives, pruned lookup") {
     val df = spark.range(200)
       .select(col("id").cast("string").as("key"), (col("id") % 10).as("part"))
