@@ -750,34 +750,33 @@ object TextOps {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the scan runs at the RDD level with mapPartitionsWithIndex: the
+    // partition index comes from the Partition OBJECT, not TaskContext —
+    // a downstream coalesce(1) (Verify's write shape) computes all parent
+    // partitions inside one task, where TaskContext-derived pids all read
+    // 0 and would silently zero the offsets. One shuffle, pinned, feeds
+    // both the totals pass and the cumsum pass.
     val toks = docs.select(col(idCol).cast("long").as("id"),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
       .repartitionByRange(col("id"))
       .sortWithinPartitions("id")
-    def scan[T](emit: (Int, Long, Long, Long) => T)(implicit e: org.apache.spark.sql.Encoder[T]) =
-      toks.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var run = 0L
-        it.map { r =>
-          val id = r.getLong(0); val n = r.getLong(1)
-          run += n
-          emit(pid, id, n, run) // run = INCLUSIVE local prefix
-        }
-      }
+      .as[(Long, Long)]
+      .rdd.persist()
     // pass 1: bounded per-partition totals -> exclusive offsets
-    val partials = scan((pid, _, _, run) => (pid, run))
-      .groupByKey(_._1).mapGroups((pid, rows) => (pid, rows.map(_._2).max))
+    val partials = toks
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator.single((pid, it.map(_._2).sum)))
       .collect().sortBy(_._1)
     val offsets = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
       (pid, acc + s)
     }
     val offMap = (partials.map(_._1) zip offsets.map(_._2)).toMap
-    // pass 2: local cumsum + broadcast offset = global prefix sum
-    val offCol = element_at(typedLit(offMap), col("pid"))
-    scan((pid, id, n, run) => (pid, id, n, run))
-      .toDF("pid", "id", "n_tokens", "local_cum")
-      .select(col("id").as(idCol), col("n_tokens"),
-        (col("local_cum") - col("n_tokens") + offCol).as("start_tok"))
+    // pass 2: local cumsum + the partition's exclusive offset
+    toks.mapPartitionsWithIndex { (pid, it) =>
+        var run = offMap(pid)
+        it.map { case (id, n) => val start = run; run += n; (id, n, start) }
+      }
+      .toDF(idCol, "n_tokens", "start_tok")
       .withColumn("first_chunk", expr(s"start_tok div $contextLen"))
       .withColumn("last_chunk",
         expr(s"(start_tok + n_tokens - 1) div $contextLen"))

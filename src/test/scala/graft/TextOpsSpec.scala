@@ -233,6 +233,9 @@ class TextOpsSpec extends AnyFunSuite {
     val plan = pack(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"packing must not plan a window (single-partition scan):\n$plan")
+    // offsets survive a downstream coalesce(1) — the Verify write shape
+    // that zeroes TaskContext-derived partition ids
+    assert(pack(docs).coalesce(1).collect().toSet == a)
   }
 
   test("shuffleShards: partition-invariant, gapless ranks, full shards, no global window") {
