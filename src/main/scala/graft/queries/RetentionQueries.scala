@@ -172,6 +172,27 @@ object RetentionQueries {
       Pipeline.forgetUrls(s, s"$root/pages", table, urls)
       Pipeline.readTier(s, table, "1h")
         .select("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+    }),
+
+    // CAPSTONE erasure proof (T57+T58+T59 composed): pin a snapshot,
+    // forget the urls, then DIFF pinned-vs-live — the changelog is
+    // EXACTLY the erased urls' contribution (every hourly bucket they
+    // touched changes or disappears, nothing else moves). This is the
+    // compliance artifact a real erasure request ends with.
+    "q_erasure_proof" -> ((s, dir) => {
+      val root = freshRoot("erasure")
+      val table = buildTable(s, dir, root)
+      val urls = Seq(7L, 110L).map { id =>
+        val dom = if (id % 5 < 2) 0L else id % 97
+        s"https://d$dom.example/p/$id"
+      }
+      val pinned = table.currentSnapshotId()
+      Pipeline.forgetUrls(s, s"$root/pages", table, urls)
+      val cols = Seq("domain", "metric", "bucket_ts", "n", "sum_v", "mean_v")
+      val before = table.readAt(s, pinned, "tier=1h/").select(cols.map(col): _*)
+      val after = Pipeline.readTier(s, table, "1h").select(cols.map(col): _*)
+      before.except(after).withColumn("change", lit("removed"))
+        .unionByName(after.except(before).withColumn("change", lit("added")))
     })
   )
 
@@ -194,6 +215,13 @@ object RetentionQueries {
          |UNION ALL
          |SELECT *, 'removed' AS change FROM (SELECT * FROM baset EXCEPT SELECT * FROM fullt) r""".stripMargin,
     // after the forget, the live tier == a build that never saw the urls
-    "q_forget_url" -> t1hOf(s"(SELECT * FROM $P pf WHERE doc_id NOT IN (7, 110))")
+    "q_forget_url" -> t1hOf(s"(SELECT * FROM $P pf WHERE doc_id NOT IN (7, 110))"),
+    // the erasure changelog: full tier EXCEPT erased tier, both directions
+    "q_erasure_proof" ->
+      s"""WITH fullt AS (${t1hOf(P)}),
+         |gone AS (${t1hOf(s"(SELECT * FROM $P pf WHERE doc_id NOT IN (7, 110))")})
+         |SELECT *, 'removed' AS change FROM (SELECT * FROM fullt EXCEPT SELECT * FROM gone) r
+         |UNION ALL
+         |SELECT *, 'added' AS change FROM (SELECT * FROM gone EXCEPT SELECT * FROM fullt) a""".stripMargin
   )
 }
