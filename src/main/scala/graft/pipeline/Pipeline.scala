@@ -237,6 +237,12 @@ object Pipeline {
     * corpus. Days whose pages are erased ENTIRELY are dropped from the
     * table (their partitions would otherwise go stale), not rebuilt.
     * Returns (refreshed days, dropped days).
+    *
+    * Crash semantics: the raw patch lands first, tier refreshes after,
+    * each stage an atomic snapshot commit — a crash mid-way leaves raw
+    * clean but some tiers stale (still carrying the urls' aggregates)
+    * until the same call is retried to completion. Erasure is proven by
+    * the snapshot diff (`q_erasure_proof`), not by the call returning.
     */
   def forgetUrls(
       spark: SparkSession,

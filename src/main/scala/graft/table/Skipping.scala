@@ -105,7 +105,6 @@ object Skipping {
     val parted = df.withColumn("zpart", (z / lit(cellsPerPart)).cast("int"))
     val pinned = parted.repartition(col("zpart")).persist()
     try {
-      pinned.write.mode("append").partitionBy("zpart").parquet(s"$path/data")
       val fresh = pinned.groupBy(col("zpart"))
         .agg(min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
           min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"),
@@ -120,8 +119,15 @@ object Skipping {
             rows.map(_.getLong(5)).sum)
         }.toSeq
       import spark.implicits._
+      // zones FIRST, data second: a crash in between leaves zones that
+      // merely OVER-cover (box reads scan extra groups, answers stay
+      // right); the reverse order could leave appended rows the zone map
+      // doesn't know about — box reads would silently MISS them. The
+      // `rows` column is advisory under retry (min/max re-merge
+      // idempotently; the sum does not) — reads never consult it
       merged.toDF("zpart", "a_min", "a_max", "b_min", "b_max", "rows")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/zones")
+      pinned.write.mode("append").partitionBy("zpart").parquet(s"$path/data")
     } finally pinned.unpersist()
   }
 
