@@ -205,6 +205,19 @@ object SimQueries {
             .filter(col("_n") > 1).select("cluster_id"),
           "cluster_id")
         .select(col("vec_id"), col("cluster_id"))
+    }),
+
+    // cluster-CAPPED dedup: keep at most 2 representatives per duplicate
+    // cluster instead of collapsing to 1 — bounded duplication preserves
+    // some natural frequency signal while still killing the heavy tail;
+    // survivors picked by the deterministic md5-of-id quota rank
+    "q_cluster_cap" -> ((s, dir) => {
+      val u = embeddingsWithChains(s, dir)
+      val pairs = Ann.cosineNearDups(u, "vec_id", "embedding", threshold = 0.9)
+      val labels = graft.text.TextOps.dupClusters(
+        u, "vec_id", pairs, "id_a", "id_b")
+      graft.text.TextOps.quotaSample(labels, Seq("cluster_id"), "vec_id", 2)
+        .select(col("vec_id"), col("cluster_id"))
     })
   )
 
@@ -591,6 +604,37 @@ object SimQueries {
         |sizes AS (SELECT cluster_id, count(*) AS c FROM labels GROUP BY 1)
         |SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster_id
         |FROM labels JOIN sizes USING (cluster_id) WHERE c > 1""".stripMargin,
+
+    // same CC labels, then the md5 quota rank capped at 2 per cluster
+    "q_cluster_cap" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, [CAST(embedding[1] AS DOUBLE) + 0.25] || embedding[2:]
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, [CAST(embedding[1] AS DOUBLE) + 0.55] || embedding[2:]
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |ex AS (SELECT vec_id, CAST(round(UNNEST(embedding) * 1048576.0) AS BIGINT) AS qe,
+        |              generate_subscripts(embedding, 1) AS i FROM u),
+        |n2 AS (SELECT vec_id, CAST(sum(qe*qe) AS BIGINT) AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.qe * b.qe) AS BIGINT) AS dot
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM dots JOIN n2 na ON na.vec_id = id_a JOIN n2 nb ON nb.vec_id = id_b
+        |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM u
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |labels AS (SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |           FROM reach GROUP BY 1),
+        |q AS (SELECT vec_id, cluster_id, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS qr
+        |  FROM labels)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster_id FROM q WHERE qr <= 2""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH u AS (
