@@ -80,10 +80,23 @@ object TimeDelta {
     val equal = inc.except(reb).isEmpty && reb.except(inc).isEmpty
     require(equal, "incremental refresh diverged from the full rebuild")
 
+    // GDPR forget at the same volume: erase one url across the whole
+    // history — the raw patch touches |days| files of ONE bucket, the
+    // tier refresh exactly the days the url appeared on
+    val victim = spark.read.parquet(s"$root/pagesFull")
+      .select("url").head().getString(0)
+    val t3 = System.nanoTime()
+    val (rebuilt, dropped) = Pipeline.forgetUrls(
+      spark, s"$root/pagesFull", tFull, Seq(victim), buckets = 32)
+    val forgetS = (System.nanoTime() - t3) / 1e9
+    require(spark.read.parquet(s"$root/pagesFull")
+      .filter(col("url") === victim).count() == 0)
+
     println(s"""{"pages":$nPages,"late_pages":$nLate,"cpus":$cpus,""" +
       s""""days":$days,"delta_days":${touched.size},""" +
       s""""base_build_s":$fullS,"delta_s":$deltaS,"rebuild_s":$rebuildS,""" +
-      s""""speedup_vs_rebuild":${rebuildS / deltaS},"equal":$equal}""")
+      s""""speedup_vs_rebuild":${rebuildS / deltaS},"equal":$equal,""" +
+      s""""forget_s":$forgetS,"forget_days":${rebuilt.size + dropped.size}}""")
     spark.stop()
   }
 }
