@@ -165,6 +165,15 @@ class PlansSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("quality gate broadcasts its per-language thresholds (bounded dim, no shuffle of the corpus side)") {
+    val df = graft.queries.TextQueries.queries("q_quality_gate")(
+      spark, SparkTestSession.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds (one row per lang) must broadcast:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (the join-side answer to salting)") {
     val keep = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
