@@ -145,6 +145,31 @@ object TextQueries {
           (col("rn") % 16).as("pos_in_batch"))
     }),
 
+    // T52a shard-store APPEND: new docs continue the rank sequence where
+    // the store left off (filling the partial tail shard first) — the
+    // stored shards are never re-shuffled or rewritten, the appended docs
+    // are md5-ordered among THEMSELVES. At 100 TB this is the only
+    // affordable maintenance mode for a shard layout: a full reshuffle
+    // on every corpus increment would re-sort the world
+    "q_shards_append" -> ((s, dir) => {
+      val root = Scratch.dir("shards_append")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.shuffleShards(docs.filter(col("doc_id") % 4 =!= 3),
+          "doc_id", 32, 42)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$root/data")
+      val n = s.read.parquet(s"$root/data").count()
+      TextOps.shuffleShards(docs.filter(col("doc_id") % 4 === 3),
+          "doc_id", 32, 42)
+        .select(col("doc_id"),
+          (col("shard") * 32 + col("pos_in_shard") + n).as("_rank"))
+        .select(col("doc_id"), expr("_rank div 32").as("shard"),
+          (col("_rank") % 32).as("pos_in_shard"))
+        .write.mode("append").partitionBy("shard").parquet(s"$root/data")
+      s.read.parquet(s"$root/data")
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("pos_in_shard"))
+    }),
+
     // BLOOM-sidecar point lookup: the corpus laid out as md5-shuffled
     // training shards (a doc's shard is order-dependent — unknowable from
     // the key), then "which shard/position did doc X land in" answered by
@@ -718,6 +743,21 @@ object TextQueries {
          |SELECT doc_id, n_tokens, len_bucket,
          |  CAST(rn // 16 AS INT) AS batch_in_bucket,
          |  CAST(rn % 16 AS INT) AS pos_in_batch FROM r""".stripMargin,
+
+    // base ranks over the base corpus, appended ranks continue at n
+    "q_shards_append" ->
+      """WITH base AS (SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS rk
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |extra AS (SELECT doc_id,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 4 <> 3)
+        |      + row_number() OVER (
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS rk
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        |SELECT doc_id, CAST(rk // 32 AS BIGINT) AS shard,
+        |  CAST(rk % 32 AS BIGINT) AS pos_in_shard FROM allr""".stripMargin,
 
     // the sidecar-pruned lookup must equal the plain keyed filter over
     // the same shard assignment
