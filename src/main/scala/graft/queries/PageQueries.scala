@@ -412,8 +412,10 @@ object PageQueries {
 
     // top hot domains by visit count (rank with deterministic tie-break)
     "q_topk_domains" -> ((s, dir) => {
+      // pre-derived domain column (same value as the url regex): the scan
+      // reads only (doc_id), never the constructed url strings
       val cnt = Pages.synthesize(s, dir)
-        .select(regexp_extract(col("url"), "https://([^/]+)/", 1).as("domain"))
+        .select(col("domain"))
         .groupBy("domain").agg(count(lit(1)).as("visits"))
       // TakeOrderedAndProject (per-partition top-k heap + driver merge),
       // NOT an unpartitioned window over every domain; the ordering is
