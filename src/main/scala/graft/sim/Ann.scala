@@ -251,27 +251,33 @@ object Ann {
       lloydIters: Int = 3
   ): Array[org.apache.spark.sql.Row] = {
     val doubleT = org.apache.spark.sql.types.DoubleType
-    var centRows = ivfCentroids(vectors, idCol, vecCol, nCentroids)
-      .select(col("_cell"),
-        transform(col("_cv"), x => x.cast("double")).as("_cv"))
-      .collect()
-    for (_ <- 1 to lloydIters) {
-      val means = ivfAssignRows(vectors, idCol, vecCol, centRows, doubleT)
-        .select(col("cell"), posexplode(col(vecCol)))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+    // pin the training input: the seed job + every Lloyd iteration is a
+    // separate driver-sequenced action over the same (bounded) corpus
+    // projection — cached once here, released before returning
+    val pinned = vectors.persist()
+    try {
+      var centRows = ivfCentroids(pinned, idCol, vecCol, nCentroids)
+        .select(col("_cell"),
+          transform(col("_cv"), x => x.cast("double")).as("_cv"))
         .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      for (_ <- 1 to lloydIters) {
+        val means = ivfAssignRows(pinned, idCol, vecCol, centRows, doubleT)
+          .select(col("cell"), posexplode(col(vecCol)))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+        centRows = centRows.map { r =>
+          val cell = r.getLong(0)
+          org.apache.spark.sql.Row(cell,
+            means.getOrElse(cell, r.getSeq[Double](1)))
         }
-      centRows = centRows.map { r =>
-        val cell = r.getLong(0)
-        org.apache.spark.sql.Row(cell,
-          means.getOrElse(cell, r.getSeq[Double](1)))
       }
-    }
-    centRows
+      centRows
+    } finally pinned.unpersist(false)
   }
 
   private[graft] val trainedCentSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -317,17 +323,21 @@ object Ann {
     * oracle use, so both sides of every dot product agree bit-for-bit —
     * then ride into `ivf_best_cell` as foldable literals.
     */
-  private def ivfAssignRows(
-      vectors: DataFrame,
-      idCol: String,
-      vecCol: String,
+  /** The three foldable literal arrays (cells, quantized centroid vectors,
+    * centroid norms) `ivf_best_cell` assigns against, derived from
+    * collected centroid rows through a bounded (nCentroids-row) Catalyst
+    * mini-query — the SAME `round` the per-row path and the oracle use.
+    * Shared by [[ivfAssignRows]] and the fused [[pqTrain]] loop so both
+    * quantize centroids bit-identically.
+    */
+  private def centLiterals(
+      spark: org.apache.spark.sql.SparkSession,
       centRows: Array[org.apache.spark.sql.Row],
       elemT: org.apache.spark.sql.types.DataType
-  ): DataFrame = {
+  ): (Column, Column, Column) = {
     require(elemT == org.apache.spark.sql.types.FloatType ||
       elemT == org.apache.spark.sql.types.DoubleType,
       s"centroid vectors must be array<float|double>, got array<$elemT>")
-    val spark = vectors.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("_cell",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -338,11 +348,23 @@ object Ann {
       .select(col("_cell"), transform(col("_cv"), x => qint(x)).as("_qcv"),
         norm2Q(col("_cv")).as("_n2"))
       .collect()
+    (typedLit(qc.map(_.getLong(0)).toSeq),
+      typedLit(qc.map(_.getSeq[Long](1)).toSeq),
+      typedLit(qc.map(_.getLong(2)).toSeq))
+  }
+
+  private def ivfAssignRows(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centRows: Array[org.apache.spark.sql.Row],
+      elemT: org.apache.spark.sql.types.DataType
+  ): DataFrame = {
+    val (cells, qcvs, n2s) =
+      centLiterals(vectors.sparkSession, centRows, elemT)
     vectors
-      .withColumn("cell", call_function("ivf_best_cell", col(vecCol),
-        typedLit(qc.map(_.getLong(0)).toSeq),
-        typedLit(qc.map(_.getSeq[Long](1)).toSeq),
-        typedLit(qc.map(_.getLong(2)).toSeq)))
+      .withColumn("cell",
+        call_function("ivf_best_cell", col(vecCol), cells, qcvs, n2s))
       .select(col(idCol), col(vecCol), col("cell"))
   }
 
@@ -692,12 +714,59 @@ object Ann {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val w = dim / m
     val spark = vectors.sparkSession
+    val doubleT = org.apache.spark.sql.types.DoubleType
+    // FUSED subspace training: the per-subspace trainCentroids loop ran
+    // (1 + lloydIters) full-corpus jobs PER SUBSPACE — m x (1+iters)
+    // driver-sequenced jobs whose scheduling overhead, not compute,
+    // dominated the PQ funnel (guide §1.2: fix the distributed algorithm
+    // first). Seed selection is id-only (idMix), so every subspace picks
+    // the SAME nCodes rows: ONE TakeOrdered job collects the full seed
+    // vectors and slices them driver-side (cast-to-double commutes with
+    // slice — bitwise the per-subspace seeds). Each Lloyd iteration then
+    // assigns + means ALL m subspaces in ONE distributed job: a row emits
+    // m (sub, cell, slice) structs, posexplode keys the partially
+    // aggregated per-component mean by (sub, cell, pos) — identical
+    // per-group inputs to the per-subspace jobs, m x fewer passes.
+    val seedRows = vectors
+      .select(col(idCol).as("_cell"),
+        transform(col(vecCol), x => x.cast("double")).as("_cv"),
+        idMix(col(idCol)).as("_h"))
+      .orderBy(col("_h"), col("_cell")).limit(nCodes)
+      .select("_cell", "_cv").collect()
+    var books: IndexedSeq[Array[(Long, Seq[Double])]] =
+      (0 until m).map { s =>
+        seedRows.map(r => (r.getLong(0),
+          r.getSeq[Double](1).slice(s * w, (s + 1) * w)))
+      }
+    for (_ <- 1 to lloydIters) {
+      val subCols = (0 until m).map { s =>
+        val (cells, qcvs, n2s) = centLiterals(spark,
+          books(s).map { case (c, v) =>
+            org.apache.spark.sql.Row(c, v) }.toArray, doubleT)
+        // the raw slice (float or double, as the per-subspace path fed
+        // ivf_best_cell); the kernel casts through the same qint
+        val sub = slice(col(vecCol), s * w + 1, w)
+        struct(lit(s).as("sub"),
+          call_function("ivf_best_cell", sub, cells, qcvs, n2s).as("cell"),
+          sub.as("v"))
+      }
+      val means = vectors
+        .select(explode(array(subCols: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+          posexplode(col("e.v")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      books = books.zipWithIndex.map { case (b, s) =>
+        b.map { case (cell, v) => (cell, means.getOrElse((s, cell), v)) }
+      }
+    }
     val rows = (0 until m).flatMap { s =>
-      trainCentroids(
-        vectors.select(col(idCol),
-          slice(col(vecCol), s * w + 1, w).as(vecCol)),
-        idCol, vecCol, nCodes, lloydIters)
-        .map(r => org.apache.spark.sql.Row(s, r.getLong(0), r.getSeq[Double](1)))
+      books(s).map { case (cell, v) =>
+        org.apache.spark.sql.Row(s, cell, v) }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("sub",
@@ -812,9 +881,16 @@ object Ann {
     val assigned = ivfAssignRows(vectors, idCol, vecCol, centRows,
       org.apache.spark.sql.types.DoubleType)
     // residual mode: books train on (v - centroid(cell)) and the encoder
-    // sees the residual column; raw mode keeps the original vectors
+    // sees the residual column; raw mode keeps the original vectors.
+    // The residual frame is PERSISTED: training (1 seed + lloydIters
+    // jobs) and the encode pass all re-derive assignment + residual from
+    // the raw scan otherwise — a bounded (corpus-row) cache turns those
+    // repeats into memory reads. Left pinned for the final materialization
+    // (pqEncode reads it); reclaimed by the ContextCleaner once the query
+    // result is consumed (the dupClusters contract).
     val encInput =
-      if (residual) withResidual(assigned, vecCol, centRows)
+      if (residual)
+        withResidual(assigned, vecCol, centRows).persist()
       else vectors
     val encVecCol = if (residual) "_resid" else vecCol
     val books = pqTrain(encInput, idCol, encVecCol, dim, m, nCodes, lloydIters)
