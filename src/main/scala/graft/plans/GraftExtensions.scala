@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleSet(exprs)))
+    // shingle_hashes(text, n): codegen'd per-window xxhash64 (the
+    // repeated-window detector's hot loop)
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(exprs)))
     // lsh_bucket(vec, nPlanes): codegen'd hyperplane sign bucket
     ext.injectFunction((
       FunctionIdentifier("lsh_bucket"),

@@ -114,13 +114,24 @@ object TextQueries {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("lang"), col("doc_id"),
           size(TextOps.tokens(col("text"))).as("n_tokens"))
-      val ranked = d
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
-      val th = ranked.groupBy(col("lang"))
-        .agg(max(when(col("rn") === greatest(lit(1), ceil(col("cnt") * 0.25)),
-          col("n_tokens"))).as("p25"))
+      // exact p25 WITHOUT a per-lang window over every doc (at crawl scale
+      // one language is most of the corpus = a single-task sort): a
+      // partial-agg'd (lang, n_tokens) histogram first — the windows then
+      // run over DISTINCT length values per lang (bounded), and the
+      // rank-target row's value is the smallest length whose cumulative
+      // count reaches ceil(cnt * 0.25). Identical p25 to the row-level
+      // rank selection: the doc_id tie-break never changes the VALUE at
+      // the target rank (TextOpsSpec asserts equality on the fixture).
+      val hist = d.groupBy(col("lang"), col("n_tokens"))
+        .agg(count(lit(1)).as("_c"))
+      val wcum = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wall = Window.partitionBy(col("lang"))
+      val th = hist
+        .withColumn("_cum", sum(col("_c")).over(wcum))
+        .withColumn("_cnt", sum(col("_c")).over(wall))
+        .filter(col("_cum") >= greatest(lit(1), ceil(col("_cnt") * 0.25)))
+        .groupBy(col("lang")).agg(min(col("n_tokens")).as("p25"))
       d.join(broadcast(th), Seq("lang"))
         .filter(col("n_tokens") >= col("p25"))
         .select("doc_id", "lang", "n_tokens", "p25")
@@ -131,18 +142,20 @@ object TextQueries {
     // bounded; within a bucket, batch membership follows the md5 shuffle
     // order — deterministic on any engine/partitioning
     "q_length_batches" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // per-bucket md5 rank via the T50/T52 two-phase distributed scan
+      // (TextOps.bucketedShuffleRank) — a per-bucket row_number window
+      // made every length bucket ONE task doing a full sort at crawl
+      // scale; ranks are bitwise the window's (TextOpsSpec), the rank
+      // table is narrow (id, bucket, rn) and n_tokens joins back by id
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           size(TextOps.tokens(col("text"))).as("n_tokens"))
         .withColumn("len_bucket", expr("n_tokens div 64"))
-      val w = Window.partitionBy(col("len_bucket"))
-        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":42"))),
-          col("doc_id"))
-      d.withColumn("rn", row_number().over(w) - 1)
+      TextOps.bucketedShuffleRank(d, "doc_id", "len_bucket", 42)
+        .join(d.select(col("doc_id"), col("n_tokens")), "doc_id")
         .select(col("doc_id"), col("n_tokens"), col("len_bucket"),
           expr("rn div 16").as("batch_in_bucket"),
-          (col("rn") % 16).as("pos_in_batch"))
+          (col("rn") % 16).cast("int").as("pos_in_batch"))
     }),
 
     // T52a shard-store APPEND: new docs continue the rank sequence where

@@ -629,9 +629,12 @@ object TextOps {
       textCol: String,
       k: Int = 13
   ): DataFrame = {
+    // codegen'd window hashing: one reused buffer per row instead of the
+    // interpreted transform/slice/concat_ws tree per window (bitwise ==
+    // xxhash64(explode(shingles(text, k))), parity-tested)
     val wins = docs.select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), k)).as("w"))
-      .select(col("doc"), xxhash64(col("w")).as("wh"))
+        explode(call_function("shingle_hashes", col(textCol), lit(k)))
+          .as("wh"))
       .persist()
     val hot = wins.distinct()
       .groupBy("wh").agg(count(lit(1)).as("_n_docs"))
@@ -832,6 +835,67 @@ object TextOps {
         (col("_rank") % shardSize).as("pos_in_shard"))
   }
 
+  /** Per-BUCKET deterministic shuffle rank (the T61 fix): rank rows inside
+    * each bucket by (md5("id:seed"), id) — the same order a
+    * `row_number().over(Window.partitionBy(bucket).orderBy(h, id))` window
+    * defines — WITHOUT ever giving one task a whole bucket. At crawl scale
+    * a length bucket is unbounded, so the per-bucket window is a
+    * single-task full sort (the shape ARCHITECTURE.md #23 forbids); this
+    * is the [[shuffleShards]] two-phase scan generalized to grouped ranks:
+    * one range shuffle on (bucket, h, id) fixes the global order, pass 1
+    * collects BOUNDED per-(partition, bucket) counts (partitions x
+    * buckets rows — buckets are bounded by construction), the driver
+    * exclusive-scans them per bucket, pass 2 adds each partition's
+    * per-bucket offsets to its local running rank. Offsets ride in the
+    * Partition objects via mapPartitionsWithIndex (coalesce(1)-proof, the
+    * packSequences contract). Output: (idCol, bucketCol, rn) with rn
+    * 0-based within its bucket — bitwise the window's rn - 1 under any
+    * input partitioning (TextOpsSpec asserts both).
+    */
+  def bucketedShuffleRank(
+      df: DataFrame,
+      idCol: String,
+      bucketCol: String,
+      seed: Int
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(bucketCol).cast("long").as("b"),
+        col(idCol).cast("long").as("id"))
+      .withColumn("h", md5(concat(col("id").cast("string"), lit(s":$seed"))))
+      .repartitionByRange(col("b"), col("h"), col("id"))
+      .sortWithinPartitions("b", "h", "id")
+      .select("b", "id")
+      .as[(Long, Long)]
+      .rdd.persist()
+    val partials = keyed.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        it.foreach { case (b, _) => m.update(b, m.getOrElse(b, 0L) + 1L) }
+        Iterator.single((pid, m.toSeq))
+      }.collect().sortBy(_._1)
+    val running = scala.collection.mutable.HashMap.empty[Long, Long]
+    val offsets: Map[Int, Map[Long, Long]] = partials.map {
+      case (pid, counts) =>
+        pid -> counts.map { case (b, n) =>
+          val cur = running.getOrElse(b, 0L)
+          running.update(b, cur + n)
+          b -> cur
+        }.toMap
+    }.toMap
+    keyed.mapPartitionsWithIndex { (pid, it) =>
+        val off = scala.collection.mutable.HashMap.empty[Long, Long]
+        offsets.getOrElse(pid, Map.empty).foreach { case (b, o) =>
+          off.update(b, o) }
+        it.map { case (b, id) =>
+          val r = off.getOrElse(b, 0L)
+          off.update(b, r + 1L)
+          (id, b, r)
+        }
+      }
+      .toDF(idCol, bucketCol, "rn")
+  }
+
   /** Weighted sampling without replacement, fixed size k — priority
     * sampling (Duffield–Lund–Thorup, JACM 2007): each row draws a uniform
     * u from md5(id:seed) and is ranked by priority u/w; the k smallest
@@ -853,6 +917,15 @@ object TextOps {
       k: Int,
       seed: Int
   ): DataFrame = {
+    // the fixed-point priority uses integral `div`: weights MUST be an
+    // integral column (a fractional type fails analysis), and weights are
+    // expected ≲ 1e6 — beyond that, u*1e6 div w truncates many priorities
+    // to equal values and selection degrades toward id order among the
+    // heaviest rows (callers with larger weights should pre-scale down)
+    require(Set("ByteType", "ShortType", "IntegerType", "LongType")
+      .contains(df.schema(weightCol).dataType.toString),
+      s"weightedSample needs an integral weight column, got " +
+        s"${df.schema(weightCol).dataType} for $weightCol")
     val u = conv(
       substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 8),
       16, 10).cast("long")

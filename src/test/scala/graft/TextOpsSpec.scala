@@ -171,6 +171,24 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd shingle_hashes == xxhash64 over shingles, bitwise, on fixture docs") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((900001L, ""), (900002L, "one two"),
+        (900003L, "a b c a b c a b c"), (900004L, "\ttab lead x y"),
+        (900005L, "trail newline x y\n")).toDF("doc_id", "text"))
+    val both = docs.select(
+        col("doc_id"),
+        call_function("shingle_hashes", col("text"), lit(13)).as("fast"),
+        transform(TextOps.shingles(col("text"), 13), w => xxhash64(w))
+          .as("ref"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"doc $id: $fast != $ref")
+    }
+  }
+
   test("topNgrams: planted counts, lexicographic tie-break, partitioning-invariant") {
     val docs = Seq(
       ("en", "a b a b a b"),     // "a b" x3, "b a" x2
@@ -272,6 +290,69 @@ class TextOpsSpec extends AnyFunSuite {
     val plan = shard(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"sharding must not plan a window:\n$plan")
+  }
+
+  test("bucketedShuffleRank: bitwise the per-bucket window rank, partition-invariant, Window-free") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("len_bucket", expr("n_tokens div 64"))
+    def rank(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextOps.bucketedShuffleRank(df, "doc_id", "len_bucket", 42)
+    // the reference: the per-bucket row_number window it replaces (the
+    // single-task-sort shape at scale — kept here as the truth oracle)
+    val w = Window.partitionBy(col("len_bucket"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":42"))),
+        col("doc_id"))
+    val want = d.withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("len_bucket").cast("long"), col("rn"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = rank(d).as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // bitwise invariant under input partitioning and a downstream
+    // coalesce(1) (the Verify write shape)
+    assert(rank(d.repartition(13)).as[(Long, Long, Long)].collect().toSet == want)
+    assert(rank(d.repartition(1)).as[(Long, Long, Long)].collect().toSet == want)
+    assert(rank(d).coalesce(1).as[(Long, Long, Long)].collect().toSet == want)
+    // scale shape: no window anywhere in the plan
+    val plan = rank(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"bucketed rank must not plan a window:\n$plan")
+  }
+
+  test("quality-gate histogram p25 == row-level rank-selection p25") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+    // row-level form (the oracle's formulation): value at rank
+    // ceil(cnt * 0.25) in (n_tokens, doc_id) order per lang
+    val ranked = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val rowLevel = ranked.groupBy(col("lang"))
+      .agg(max(when(col("rn") === greatest(lit(1), ceil(col("cnt") * 0.25)),
+        col("n_tokens"))).as("p25"))
+      .as[(String, Int)].collect().toSet
+    // histogram form (the engine's scale-safe formulation): smallest
+    // length whose cumulative count reaches the target rank — windows run
+    // over DISTINCT lengths per lang, bounded
+    val hist = d.groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("_c"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wall = Window.partitionBy(col("lang"))
+    val histLevel = hist
+      .withColumn("_cum", sum(col("_c")).over(wcum))
+      .withColumn("_cnt", sum(col("_c")).over(wall))
+      .filter(col("_cum") >= greatest(lit(1), ceil(col("_cnt") * 0.25)))
+      .groupBy(col("lang")).agg(min(col("n_tokens")).as("p25"))
+      .as[(String, Int)].collect().toSet
+    assert(histLevel == rowLevel)
   }
 
   test("weightedSample: deterministic fixed-k set, heavy rows win more often") {
