@@ -54,6 +54,15 @@ object MergeSink {
     * @param expireEvery run `expireSnapshots(keepLast)` every N batches
     *                  (0 = never; finite drains with AvailableNow keep
     *                  full history for the duration of the run anyway)
+    * @param extraBuckets buckets to REWRITE even when no incoming row
+    *                  lands in them — `merge(existing, ∅)` runs there.
+    *                  Needed by merges that DELETE keys from buckets the
+    *                  batch adds nothing to (a url moving between md5
+    *                  groups must be removed from its OLD group's bucket).
+    * @param allowEmptied a touched bucket whose merged content is empty
+    *                  commits as a DROPPED partition instead of failing
+    *                  the batch (only deletion-capable merges opt in; the
+    *                  default keeps the loud stale-partition guard)
     */
   def mergeBuckets(
       spark: SparkSession,
@@ -64,12 +73,15 @@ object MergeSink {
       lineageTag: String,
       merge: (DataFrame, DataFrame) => DataFrame,
       expireEvery: Int = 0,
-      keepLast: Int = 2
+      keepLast: Int = 2,
+      extraBuckets: Seq[String] = Nil,
+      allowEmptied: Boolean = false
   ): Unit = {
     import spark.implicits._
     val inc = incoming.persist()
     try {
-      val buckets = inc.select(BucketCol).distinct().as[String].collect().sorted
+      val buckets = (inc.select(BucketCol).distinct().as[String].collect() ++
+        extraBuckets).distinct.sorted
       if (buckets.isEmpty) return
       val current = layer.currentPartitions().map(p => p.key -> p).toMap
       // stored files carry the data columns only (BucketCol is in the dir
@@ -116,18 +128,21 @@ object MergeSink {
           }
         }
         // merge-contract check: every TOUCHED bucket must re-appear in the
-        // merged output (all current mergers only grow or keep per-key
-        // rows). A merge that emptied a bucket would write no mbk= dir,
-        // the commit would skip the swap, and the STALE old partition
-        // would silently stay live — fail loudly instead.
+        // merged output (the default mergers only grow or keep per-key
+        // rows). A merge that emptied a bucket writes no mbk= dir; without
+        // an explicit commit the STALE old partition would silently stay
+        // live — fail loudly, unless the caller declared a
+        // deletion-capable merge (allowEmptied), in which case the emptied
+        // buckets' keys are DROPPED in the same snapshot.
         val written = added.map(_.key.stripPrefix(keyPrefix)).toSet
         val vanished = buckets.filterNot(written.contains)
-        require(vanished.isEmpty,
+        require(allowEmptied || vanished.isEmpty,
           s"merge produced zero rows for touched bucket(s) ${vanished.mkString(",")} " +
             "— a bucket-emptying merge needs an explicit empty-partition commit, " +
             "which no current sink's merge can produce")
-        // one snapshot per batch; only keys actually re-written are swapped
-        layer.commit(added, added.map(_.key))
+        // one snapshot per batch; re-written keys are swapped, emptied
+        // keys (allowEmptied only) are dropped
+        layer.commit(added, added.map(_.key) ++ vanished.map(keyPrefix + _))
         if (expireEvery > 0 && (batchId + 1) % expireEvery == 0)
           layer.expireSnapshots(keepLast)
       } finally merged.unpersist()

@@ -30,7 +30,20 @@ object StreamingAnn {
       vecCol: String,
       maxFilesPerTrigger: Int = 0
   ): Unit = {
-    val schema = spark.read.parquet(landingDir).schema
+    // cold-start: an empty landing dir makes the batch-read schema probe
+    // throw for an otherwise valid setup — fall back to the index's own
+    // stored schema (id + vector columns match the append contract)
+    val schema =
+      try spark.read.parquet(landingDir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        val cents = spark.read.parquet(s"$indexPath/centroids")
+        val elemT = cents.schema("_cv").dataType
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(vecCol, elemT,
+            nullable = true)))
+      }
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -28,14 +28,19 @@ import graft.web.Web
   * DURABLE (written under `corpus-affected/b<batchId>` before the pages
   * commit) and unioned with whatever a replay recomputes — a superset of
   * the affected set only adds no-op recounts, so replays stay idempotent.
-  * Affected groups are then recounted against the post-merge pages table
-  * with a broadcast semi-join (one narrow scan — urls/md5s/counts move,
-  * never texts); groups left with no members become tombstones
-  * (n_copies = 0) rather than deletions, keeping the bucket-rewrite
-  * contract ("a touched bucket always re-appears") intact. The release
-  * gate (n_copies > 0, n_tokens >= minTokens) is a read-time filter over
-  * stored values, so the table converges to the batch `q_crawl_corpus`
-  * answer for ANY file arrival order, restart point, or batch slicing.
+  * Every per-batch read is BUCKET-PRUNED (the r6 verdict's streaming
+  * scale-killer): the old-md5 lookup lists only the incoming urls'
+  * url-hash buckets, and the recount runs against a companion member
+  * table `pagesmd5/bucket=<md5-hash>` — the same latest-per-url rows as
+  * `pages`, re-bucketed by md5 and maintained in the same batch protocol
+  * — listing only the affected md5s' buckets. Urls/md5s/counts move,
+  * never texts; groups left with no members are DELETED outright (the
+  * corpus merge anti-joins the affected set, and a bucket the deletions
+  * empty commits as a dropped partition), so no tombstone rows ever
+  * accumulate. The release gate (n_copies > 0, n_tokens >= minTokens) is
+  * a read-time filter over stored values, so the table converges to the
+  * batch `q_crawl_corpus` answer for ANY file arrival order, restart
+  * point, or batch slicing.
   */
 object StreamingCrawlCorpus {
 
@@ -48,15 +53,32 @@ object StreamingCrawlCorpus {
       nBuckets: Int,
       expireEvery: Int = 0
   ): Unit = {
+    import spark.implicits._
+    val urlBucket = pmod(xxhash64(col("url")), lit(nBuckets.toLong)).cast("string")
+    val md5Bucket =
+      pmod(xxhash64(col("text_md5")), lit(nBuckets.toLong)).cast("string")
+    // live partition paths of one bucket family, PRUNED to a bucket set —
+    // the whole point of bucketed storage: per-batch reads list only the
+    // buckets the batch can touch, never the corpus (r6 verdict: the
+    // full-table recount scan was the one streaming scale-killer left)
+    def partsOf(prefix: String, keep: Set[String]): Seq[String] =
+      layer.currentPartitions()
+        .filter(p => p.key.startsWith(prefix) &&
+          keep.contains(p.key.stripPrefix(prefix)))
+        .map(_.path)
     val rows = batch.select(col("url"), col("epoch_s"),
         md5(col("text").cast("binary")).as("text_md5"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .persist()
     try {
       if (rows.isEmpty) return
-      // ---- (1) affected md5 groups, durable for replay
-      val preParts = layer.currentPartitions()
-        .filter(_.key.startsWith("pages/bucket=")).map(_.path)
+      // url-hash buckets the batch touches — computable batch-side, bounded
+      val urlBuckets = rows.select(urlBucket.as("ub")).distinct()
+        .as[String].collect().toSet
+      // ---- (1) affected md5 groups, durable for replay; the old-md5
+      // lookup reads ONLY the incoming urls' buckets (a url's row can
+      // live nowhere else)
+      val preParts = partsOf("pages/bucket=", urlBuckets)
       val oldMd5 =
         if (preParts.isEmpty) rows.select("text_md5").limit(0)
         else spark.read.parquet(preParts: _*)
@@ -68,35 +90,65 @@ object StreamingCrawlCorpus {
         // ---- (2) latest-per-url MERGE (url-hash buckets). expire is
         // deferred to the corpus merge: the batch protocol must not sweep
         // its own affected file between the two commits.
-        val incPages = rows.withColumn(MergeSink.BucketCol,
-          pmod(xxhash64(col("url")), lit(nBuckets.toLong)).cast("string"))
+        val incPages = rows.withColumn(MergeSink.BucketCol, urlBucket)
         MergeSink.mergeBuckets(spark, layer, incPages, batchId,
           keyPrefix = "pages/bucket=", lineageTag = "stream-crawl-pages",
           merge = MergeSink.keepBest(Seq("url"),
             Seq(col("epoch_s").desc, col("text_md5").asc)))
-        // ---- (3) recount affected groups against the post-merge table
-        val postParts = layer.currentPartitions()
-          .filter(_.key.startsWith("pages/bucket=")).map(_.path)
-        val post = spark.read.parquet(postParts: _*)
-        val recounts = post.join(broadcast(affected), "text_md5")
+        // ---- (2b) companion member table `pagesmd5/bucket=<md5-hash>`:
+        // the SAME latest-per-url rows as `pages`, re-bucketed by md5 so
+        // the recount can prune its scan to affected md5 buckets. The
+        // post-merge truth for each incoming url comes from the incoming
+        // urls' pages buckets (pruned read); the merge drops the incoming
+        // urls' OLD rows (their old-md5 buckets ride in as extraBuckets —
+        // affected ⊇ {old md5s}) and inserts the fresh rows. A bucket the
+        // deletions empty commits as a dropped partition (allowEmptied).
+        // Replay-safe: urlTruth re-derives from the idempotent pages
+        // table; delete-then-insert converges on any replay.
+        val urlTruth = spark.read
+          .parquet(partsOf("pages/bucket=", urlBuckets): _*)
+          .join(rows.select("url").distinct(), Seq("url"), "left_semi")
+          .select(col("url"), col("text_md5"), col("n_tokens"))
+          .withColumn(MergeSink.BucketCol, md5Bucket)
+        val affectedBuckets = affected.select(md5Bucket.as("mb")).distinct()
+          .as[String].collect().toSeq.sorted
+        MergeSink.mergeBuckets(spark, layer, urlTruth, batchId,
+          keyPrefix = "pagesmd5/bucket=", lineageTag = "stream-crawl-bymd5",
+          merge = (existing, incoming) =>
+            existing.join(incoming.select("url").distinct(),
+                Seq("url"), "left_anti")
+              .unionByName(incoming),
+          extraBuckets = affectedBuckets, allowEmptied = true)
+        // ---- (3) recount affected groups against the companion table,
+        // reading ONLY the affected md5s' buckets
+        val compParts = partsOf("pagesmd5/bucket=", affectedBuckets.toSet)
+        val members =
+          if (compParts.isEmpty)
+            rows.select("url", "text_md5", "n_tokens").limit(0)
+          else spark.read.parquet(compParts: _*)
+        val recounts = members.join(broadcast(affected), "text_md5")
           .groupBy(col("text_md5"))
           .agg(min(col("url")).as("url"), count(lit(1)).as("n_copies"),
             max(col("n_tokens")).as("n_tokens"))
-        val tombstones = affected.join(recounts, Seq("text_md5"), "left_anti")
-          .select(col("text_md5"), lit(null).cast("string").as("url"),
-            lit(0L).as("n_copies"), lit(0L).as("n_tokens"))
+        // no tombstones: the merge deletes by the (broadcast-sized)
+        // AFFECTED set rather than by the incoming md5s, so a group the
+        // batch emptied simply vanishes — its bucket rides in via
+        // extraBuckets and, if emptied entirely, commits as a dropped
+        // partition. The old n_copies = 0 tombstone rows existed only to
+        // carry deletions through an incoming-keyed anti-join and
+        // accumulated forever (r6 "Missing #5"); nothing reads them.
         val incCorpus = recounts
           .select("text_md5", "url", "n_copies", "n_tokens")
-          .unionByName(tombstones)
           .withColumn(MergeSink.BucketCol,
             pmod(xxhash64(col("text_md5")), lit(nBuckets.toLong)).cast("string"))
         MergeSink.mergeBuckets(spark, layer, incCorpus, batchId,
           keyPrefix = "corpus/bucket=", lineageTag = "stream-crawl-corpus",
           merge = (existing, incoming) =>
-            existing.join(incoming.select("text_md5").distinct(),
+            existing.join(broadcast(affected.select("text_md5")),
                 Seq("text_md5"), "left_anti")
               .unionByName(incoming),
-          expireEvery = expireEvery)
+          expireEvery = expireEvery,
+          extraBuckets = affectedBuckets, allowEmptied = true)
       } finally affected.unpersist()
     } finally rows.unpersist()
   }
@@ -149,8 +201,19 @@ object StreamingCrawlCorpus {
   ): graft.table.ManifestTableLayer = {
     import spark.implicits._
     val layer = new graft.table.ManifestTableLayer(tableRoot)
-    val schema = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(dir).schema
+    // binaryFile's schema is FIXED (path, modificationTime, length,
+    // content) — declaring it directly avoids the batch-read probe that
+    // throws on a not-yet-populated landing dir (the StreamingAnn
+    // cold-start fix)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
     val reader = spark.readStream.format("binaryFile").schema(schema)
       .option("pathGlobFilter", "*.warc*")
     val src = (if (maxFilesPerTrigger > 0)

@@ -251,6 +251,30 @@ class StreamingSpec extends AnyFunSuite {
       .select(md5(col("text").cast("binary"))).as[String].head()
     assert(got.filter(col("text_md5") === origMd5).isEmpty,
       "changed url's old md5 group must vanish from the corpus")
+    // the md5-bucketed companion member table (what lets the recount
+    // prune its scan to affected buckets) must hold EXACTLY the pages
+    // rows re-bucketed by md5 — including across the url that moved
+    // between md5 groups and the kill/resume boundary
+    val pagesRows = spark.read.parquet(l2.currentPartitions()
+        .filter(_.key.startsWith("pages/bucket=")).map(_.path): _*)
+      .select("url", "text_md5", "n_tokens")
+    val compRows = spark.read.parquet(l2.currentPartitions()
+        .filter(_.key.startsWith("pagesmd5/bucket=")).map(_.path): _*)
+      .select("url", "text_md5", "n_tokens")
+    assert(pagesRows.except(compRows).isEmpty &&
+      compRows.except(pagesRows).isEmpty,
+      "companion member table must mirror pages, re-bucketed by md5")
+    // and it is genuinely spread over md5 buckets (pruning has teeth)
+    assert(l2.currentPartitions()
+      .count(_.key.startsWith("pagesmd5/bucket=")) > 1)
+    // emptied md5 groups are DELETED, never tombstoned — the stored
+    // corpus carries no n_copies = 0 rows to accumulate (r6 Missing #5)
+    val storedCorpus = spark.read.parquet(l2.currentPartitions()
+      .filter(_.key.startsWith("corpus/bucket=")).map(_.path): _*)
+    assert(storedCorpus.filter(col("n_copies") === 0).isEmpty,
+      "no tombstone rows may exist in the stored corpus")
+    assert(storedCorpus.filter(col("text_md5") === origMd5).isEmpty,
+      "the emptied group's row must be physically gone")
   }
 
   test("streaming change detection resumes across restarts == batch revisitChanges (kill/resume)") {
