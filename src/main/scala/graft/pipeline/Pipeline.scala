@@ -281,14 +281,14 @@ object Pipeline {
     val aliveParts = patched
       .groupBy(col("bucket"), col("day").cast("string").as("day"))
       .count().collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // stale-dir delete through the SAME Hadoop FS as the write: a
+    // java.nio local delete silently no-ops on a non-local pagesPath and
+    // erased rows would stay live — a quiet GDPR failure mode
+    val fs = new org.apache.hadoop.fs.Path(pagesPath).getFileSystem(
+      spark.sessionState.newHadoopConf())
     hit.filterNot(aliveParts.contains).foreach { case (b, d) =>
-      val dir = java.nio.file.Paths.get(pagesPath, s"bucket=$b", s"day=$d")
-      if (java.nio.file.Files.exists(dir)) {
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(java.nio.file.Files.delete)
-        finally walk.close()
-      }
+      val dir = new org.apache.hadoop.fs.Path(pagesPath, s"bucket=$b/day=$d")
+      if (fs.exists(dir)) fs.delete(dir, true)
     }
 
     // ---- recompute the touched days' 15-min tier from patched raw; days

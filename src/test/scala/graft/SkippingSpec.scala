@@ -21,19 +21,49 @@ class SkippingSpec extends AnyFunSuite {
     // a=0101, b=1010 -> z = b3 a3 b2 a2 b1 a1 b0 a0 = 10011001 = 153
     val z = spark.range(1)
       .select(Skipping.zvalue(lit(5L), 0, 15, lit(10L), 0, 15).as("z"))
-      .as[Int].head()
-    assert(z == 153)
+      .as[Long].head()
+    assert(z == 153L)
     // corners: (0,0) -> 0, (15,15) -> 255
     val corners = spark.range(1).select(
       Skipping.zvalue(lit(0L), 0, 15, lit(0L), 0, 15),
       Skipping.zvalue(lit(15L), 0, 15, lit(15L), 0, 15))
-      .as[(Int, Int)].head()
-    assert(corners == ((0, 255)))
+      .as[(Long, Long)].head()
+    assert(corners == ((0L, 255L)))
     // out-of-range values clamp instead of corrupting the interleave
     val clamped = spark.range(1).select(
-      Skipping.zvalue(lit(99L), 0, 15, lit(-3L), 0, 15)).as[Int].head()
+      Skipping.zvalue(lit(99L), 0, 15, lit(-3L), 0, 15)).as[Long].head()
     assert(clamped == spark.range(1).select(
-      Skipping.zvalue(lit(15L), 0, 15, lit(0L), 0, 15)).as[Int].head())
+      Skipping.zvalue(lit(15L), 0, 15, lit(0L), 0, 15)).as[Long].head())
+    // parameterized depth: at 2^16 levels/dim the full 32-bit interleave
+    // is exact at the corners and strictly monotone refinements of the
+    // default depth's cells
+    val deep = spark.range(1).select(
+      Skipping.zvalue(lit(65535L), 0, 65535, lit(65535L), 0, 65535,
+        levels = 65536)).as[Long].head()
+    assert(deep == 0xFFFFFFFFL)
+  }
+
+  test("z-order depth parameterized: >= 1024 file groups, box read exact at non-default depth") {
+    val root = tmp("skip-zdeep-")
+    // 32 x 32 grid, levels = 32 per dim -> z in [0, 1024); cellsPerPart 1
+    // -> 1024 file groups (the 100 TB layout needs thousands; the fixed
+    // 16-level depth capped the table at 64)
+    val rows = spark.range(1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"),
+      col("id").as("payload"))
+    Skipping.writeZOrdered(rows, "x", 0, 31, "y", 0, 31, s"$root/store",
+      cellsPerPart = 1, levels = 32)
+    val zones = spark.read.parquet(s"$root/store/zones")
+    assert(zones.count() == 1024, s"expected 1024 zones, got ${zones.count()}")
+    // box query: exact answer, listing pruned to a small fraction
+    val (got, kept) = Skipping.readZBox(spark, s"$root/store",
+      "x", 3, 6, "y", 10, 13)
+    val want = rows.filter(col("x").between(3, 6) && col("y").between(10, 13))
+    assert(got.select("x", "y", "payload").except(want).isEmpty &&
+      want.except(got.select("x", "y", "payload")).isEmpty)
+    assert(got.count() == 16)
+    assert(kept.size <= 64,
+      s"deep z-order box should prune to a few groups, kept ${kept.size}")
   }
 
   test("z-ordered layout answers a 2-D box from a fraction of the file groups") {
