@@ -251,33 +251,32 @@ object Ann {
       lloydIters: Int = 3
   ): Array[org.apache.spark.sql.Row] = {
     val doubleT = org.apache.spark.sql.types.DoubleType
-    // pin the training input: the seed job + every Lloyd iteration is a
-    // separate driver-sequenced action over the same (bounded) corpus
-    // projection — cached once here, released before returning
-    val pinned = vectors.persist()
-    try {
-      var centRows = ivfCentroids(pinned, idCol, vecCol, nCentroids)
-        .select(col("_cell"),
-          transform(col("_cv"), x => x.cast("double")).as("_cv"))
+    // NOT pinned: each Lloyd action re-reads the columnar input — at
+    // fixture scale a cache costs more than the re-scan it saves
+    // (measured: stage_ivf_build 1.7 -> 2.0 s pinned), and at corpus
+    // scale Lloyd over the FULL table is the wrong plan anyway (sample,
+    // then train) — a full-corpus cache would just spill
+    var centRows = ivfCentroids(vectors, idCol, vecCol, nCentroids)
+      .select(col("_cell"),
+        transform(col("_cv"), x => x.cast("double")).as("_cv"))
+      .collect()
+    for (_ <- 1 to lloydIters) {
+      val means = ivfAssignRows(vectors, idCol, vecCol, centRows, doubleT)
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
         .collect()
-      for (_ <- 1 to lloydIters) {
-        val means = ivfAssignRows(pinned, idCol, vecCol, centRows, doubleT)
-          .select(col("cell"), posexplode(col(vecCol)))
-          .groupBy(col("cell"), col("pos"))
-          .agg(avg(col("col").cast("double")).as("m"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (cell, rows) =>
-            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          }
-        centRows = centRows.map { r =>
-          val cell = r.getLong(0)
-          org.apache.spark.sql.Row(cell,
-            means.getOrElse(cell, r.getSeq[Double](1)))
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
+      centRows = centRows.map { r =>
+        val cell = r.getLong(0)
+        org.apache.spark.sql.Row(cell,
+          means.getOrElse(cell, r.getSeq[Double](1)))
       }
-      centRows
-    } finally pinned.unpersist(false)
+    }
+    centRows
   }
 
   private[graft] val trainedCentSchema = org.apache.spark.sql.types.StructType(Seq(
